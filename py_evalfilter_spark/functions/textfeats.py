@@ -1,0 +1,103 @@
+"""Arrow-vectorized text feature functions (SURVEY.md §2.3-2.4).
+
+One `mapInPandas` pass computes NFKC + tokenization + the 19-field feature
+map per batch — the tokenize-once discipline that fixes the reference's
+repeated re-tokenization (SURVEY.md §4.1 "Common-subexpression reuse",
+citing /root/reference/src/evalfilter/features.py:79 and
+src/generate_dataset_gvsb.py:72,84).  No per-row Python UDFs: Python runs
+only inside Arrow batches (input_hint).
+
+At 100 TB scale this is a narrow map stage — no shuffle, embarrassingly
+parallel, and salting-safe because nothing here crosses rows.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .. import textcore as tc
+
+# Spark schema of the 19-feature struct, in DictVectorizer (alpha-sorted) order.
+# Counts are emitted as doubles so the output matrix is uniformly float64
+# like the reference's DictVectorizer output.
+FEATURE_SCHEMA = T.StructType(
+    [T.StructField(name, T.DoubleType(), False) for name in tc.FEATURE_NAMES]
+)
+
+
+def feature_fields() -> list[str]:
+    return list(tc.FEATURE_NAMES)
+
+
+def _stats_frame(texts: pd.Series) -> pd.DataFrame:
+    rows = [tc.rant_stats(tc.nfkc(t if isinstance(t, str) else "")) for t in texts]
+    out = pd.DataFrame(rows, index=texts.index, columns=list(tc.FEATURE_NAMES))
+    return out.astype("float64")
+
+
+def with_rant_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append the 19 feature columns to ``df`` (one Arrow pass)."""
+    out_schema = T.StructType(list(df.schema.fields) + list(FEATURE_SCHEMA.fields))
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = _stats_frame(pdf[text_col])
+            yield pd.concat([pdf.reset_index(drop=True), feats.reset_index(drop=True)], axis=1)
+
+    return df.mapInPandas(compute, schema=out_schema)
+
+
+@F.pandas_udf(T.StringType())
+def nfkc_udf(s: pd.Series) -> pd.Series:
+    """NFKC normalization (fuman_base.py:100) — no Spark SQL builtin exists."""
+    return s.map(lambda x: tc.nfkc(x) if isinstance(x, str) else x)
+
+
+@F.pandas_udf(T.ArrayType(T.StringType()))
+def tokenize_rant_udf(s: pd.Series) -> pd.Series:
+    """Lemma tokens, min_length=2 (analysis.py:22-23 contract)."""
+    return s.map(lambda x: tc.tokenize_rant(x, 2) if isinstance(x, str) else [])
+
+
+@F.pandas_udf(T.ArrayType(T.StringType()))
+def tokenize_rant1_udf(s: pd.Series) -> pd.Series:
+    """Lemma tokens, min_length=1 (feature-map tokens, features.py:79)."""
+    return s.map(lambda x: tc.tokenize_rant(x, 1) if isinstance(x, str) else [])
+
+
+@F.pandas_udf(T.ArrayType(T.StringType()))
+def tokenize_pos_udf(s: pd.Series) -> pd.Series:
+    """POS-class tag sequence (analysis.py:26-27 contract)."""
+    return s.map(lambda x: tc.tokenize_pos(x) if isinstance(x, str) else [])
+
+
+@F.pandas_udf(T.ArrayType(T.StringType()))
+def tokenize_token_type_udf(s: pd.Series) -> pd.Series:
+    """Token-type sequence (analysis.py:30-32 contract)."""
+    return s.map(lambda x: tc.tokenize_token_type(x) if isinstance(x, str) else [])
+
+
+def analyzer_udf(tokenizer_name: str, ngram_range: tuple[int, int]):
+    """sklearn-parity analyzer (preprocess → tokenize → ngrams) as a pandas UDF.
+
+    ``tokenizer_name`` ∈ {'rant','pos','token_type'} — the three tokenizers
+    the reference ships (SURVEY.md §2.10).
+    """
+    tokenizers = {
+        "rant": tc.tokenize_rant,
+        "pos": lambda s: tc.tokenize_pos(s),
+        "token_type": tc.tokenize_token_type,
+    }
+    tok = tokenizers[tokenizer_name]
+    lo, hi = ngram_range
+
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def _analyze(s: pd.Series) -> pd.Series:
+        return s.map(lambda x: tc.analyze(x, tok, (lo, hi)) if isinstance(x, str) else [])
+
+    return _analyze
