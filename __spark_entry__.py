@@ -1,38 +1,45 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)   — flagship end-to-end feature pipeline on sf0.001.
+queries()      — one entry per implemented operator (SURVEY.md §2).
+oracle_sql()   — matching DuckDB SQL for the SQL-expressible subset;
+                 Arrow-UDF text features are rows-only and allclose-verified
+                 against the golden pandas pipeline in tests/.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from py_evalfilter_spark.functions import textfeats  # noqa: E402
+from py_evalfilter_spark.operators import asof as asof_op  # noqa: E402
+from py_evalfilter_spark.operators import windows as win_op  # noqa: E402
+from py_evalfilter_spark.plans import driver_queries as dq  # noqa: E402
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full point-in-time feature pipeline on sf0.001 transcripts.
+
+    events → transcripts → 19-feature Arrow map → backfill + sessionize →
+    as-of merge of the purchase side-table → wide per-turn feature rows.
+    """
+    sf_dir = "/root/testdata/sf0.001"
+    t = dq.transcripts_df(spark, sf_dir)
+    feats = textfeats.with_rant_stats(t)
+    windowed = win_op.with_session(win_op.with_backfill(feats))
+    p = dq.profile_df(spark, sf_dir)
+    return asof_op.asof_join(windowed, p, on="ts", by="conv_id", right_ts_alias="profile_ts")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(dq.QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(dq.ORACLES)

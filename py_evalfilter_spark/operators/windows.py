@@ -60,7 +60,9 @@ def with_session(
     sum of starts → per-conversation session sequence → global session_id.
     """
     w = conv_window(by)
-    gap = F.col(ts_col).cast("long") - F.lag(F.col(ts_col).cast("long"), 1).over(w)
+    # NTZ-safe epoch: TIMESTAMP_NTZ → TIMESTAMP (session tz, pinned UTC) → long
+    ep = F.col(ts_col).cast("timestamp").cast("long")
+    gap = ep - F.lag(ep, 1).over(w)
     is_start = F.when(gap.isNull() | (gap > gap_s), 1).otherwise(0)
     df = df.withColumn("is_session_start", is_start.cast("int"))
     run = F.sum("is_session_start").over(w.rowsBetween(Window.unboundedPreceding, 0))

@@ -1,0 +1,684 @@
+"""Driver-contract query catalog: Spark implementation + DuckDB oracle pairs.
+
+Each entry exercises one operator family from SURVEY.md §2 on the driver's
+parquet tables (TESTDATA.md).  The transcripts-shaped input required by
+BASELINE.json `input_hint` is derived deterministically from `events`
+(conv_id = user, turn ordering by ts) so every windowed / as-of / session
+operator has a DuckDB-checkable oracle; Arrow-UDF text features are
+rows-only here and allclose-verified against the golden pipeline in pytest.
+
+Conventions (driver compare = row-count + schema + column-name-sorted
+value hash):
+  * every computed column is aliased identically on both sides;
+  * doubles that aggregate are ROUND()ed on both sides (4 decimals) so JVM
+    vs DuckDB summation-order ulps can't flip the hash;
+  * timestamps leave result sets as epoch-second BIGINTs (`*_ep`) — no
+    engine-specific timestamp serialization in the hash.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import textfeats
+from ..operators import asof as asof_op
+from ..operators import windows as win_op
+
+# ---------------------------------------------------------------------------
+# shared derivations
+# ---------------------------------------------------------------------------
+
+WORD_RE = "[^a-z0-9]+"
+STOPWORDS_SQL = "('the','a','of','and','to','in','is','on','for','with')"
+STOPWORDS = {"the", "a", "of", "and", "to", "in", "is", "on", "for", "with"}
+
+
+def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def transcripts_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events → transcripts(conv_id, turn_idx, role, text, tool, ts)."""
+    ev = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        F.concat(F.lit("conv_"), F.col("user_id").cast("string")).alias("conv_id"),
+        (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
+        F.col("event_type").alias("role"),
+        F.col("props").alias("text"),
+        F.when(F.col("event_type") == "click", F.lit("browse"))
+        .when(F.col("event_type") == "purchase", F.lit("exec"))
+        .otherwise(F.lit(None).cast("string"))
+        .alias("tool"),
+        F.col("ts"),
+    )
+
+
+TRANSCRIPTS_CTE = """
+transcripts AS (
+  SELECT 'conv_' || CAST(user_id AS STRING) AS conv_id,
+         CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS INTEGER) AS turn_idx,
+         event_type AS role,
+         props AS text,
+         CASE WHEN event_type = 'click' THEN 'browse'
+              WHEN event_type = 'purchase' THEN 'exec' END AS tool,
+         ts
+  FROM events
+)
+"""
+
+
+def profile_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events(purchase) → slowly-changing side table (conv_id, ts, purchase_value);
+    unique (conv_id, ts) by max-value dedup."""
+    ev = _read(spark, sf_dir, "events")
+    return (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(
+            F.concat(F.lit("conv_"), F.col("user_id").cast("string")).alias("conv_id"),
+            F.col("ts"),
+        )
+        .agg(F.round(F.max("value"), 2).alias("purchase_value"))
+    )
+
+
+PROFILE_CTE = """
+profile AS (
+  SELECT 'conv_' || CAST(user_id AS STRING) AS conv_id,
+         ts,
+         ROUND(MAX(value), 2) AS purchase_value
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY 1, 2
+)
+"""
+
+
+def _tokens_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → (doc_id, term) regex word tokens, empties dropped."""
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), WORD_RE)).alias("term")
+    ).filter(F.col("term") != "")
+
+
+TOKENS_CTE = f"""
+toks AS (
+  SELECT doc_id, unnest(string_split_regex(lower(text), '{WORD_RE}')) AS term
+  FROM documents
+),
+tokens AS (SELECT doc_id, term FROM toks WHERE term <> '')
+"""
+
+# ---------------------------------------------------------------------------
+# queries — relational core (SURVEY.md §2.1-2.2, §2.5, §2.8)
+# ---------------------------------------------------------------------------
+
+
+def q_scan_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1/P3/P10: pushdown-able scan + filter + projection."""
+    li = _read(spark, sf_dir, "lineitem")
+    return (
+        li.filter((F.col("l_shipdate") < "1996-01-01") & (F.col("l_quantity") > 45))
+        .select(
+            "l_orderkey",
+            "l_partkey",
+            F.round("l_extendedprice", 2).alias("price2"),
+        )
+    )
+
+
+SQL_SCAN_FILTER_PROJECT = """
+SELECT l_orderkey, l_partkey, ROUND(l_extendedprice, 2) AS price2
+FROM lineitem
+WHERE l_shipdate < TIMESTAMP '1996-01-01' AND l_quantity > 45
+"""
+
+
+def q_union_labeled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3/X3 + P5: two labeled scans unioned (bad=+1, good=-1), the
+    load_fuman_gvb shape (fuman_base.py:135-163)."""
+    o = _read(spark, sf_dir, "orders")
+    bad = o.filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", F.lit(1).cast("int").alias("target")
+    )
+    good = o.filter(F.col("o_orderstatus") == "O").select(
+        "o_orderkey", F.lit(-1).cast("int").alias("target")
+    )
+    return bad.unionByName(good)
+
+
+SQL_UNION_LABELED = """
+SELECT o_orderkey, CAST(1 AS INTEGER) AS target FROM orders WHERE o_orderstatus = 'F'
+UNION ALL
+SELECT o_orderkey, CAST(-1 AS INTEGER) AS target FROM orders WHERE o_orderstatus = 'O'
+"""
+
+
+def q_target_derivation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5 (fuman_gvb_target, fuman_base.py:60-66): value<100 → -1,
+    100<=v<300 → +1, else NULL (the reference raises; strict-mode analogue)."""
+    ev = _read(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.when(F.col("value") < 100, -1)
+        .when((F.col("value") >= 100) & (F.col("value") < 300), 1)
+        .otherwise(F.lit(None).cast("int"))
+        .alias("target"),
+    )
+
+
+SQL_TARGET_DERIVATION = """
+SELECT event_id,
+       CASE WHEN value < 100 THEN -1
+            WHEN value >= 100 AND value < 300 THEN 1 END AS target
+FROM events
+"""
+
+
+def q_groupby_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8/corpus-level aggregation (TPC-H Q1 shape): map-side partial aggs."""
+    li = _read(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("l_orderkey").alias("n_orders"),
+        )
+    )
+
+
+SQL_GROUPBY_STATS = """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 2) AS sum_qty,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       ROUND(AVG(l_quantity), 4) AS avg_qty,
+       COUNT(*) AS n_rows,
+       COUNT(DISTINCT l_orderkey) AS n_orders
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_broadcast_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J (dimension attach): broadcast small dims customer+nation onto orders."""
+    o = _read(spark, sf_dir, "orders")
+    c = _read(spark, sf_dir, "customer")
+    n = _read(spark, sf_dir, "nation")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )
+
+
+SQL_BROADCAST_JOIN_AGG = """
+SELECT n_name, COUNT(*) AS n_orders, ROUND(SUM(o_totalprice), 2) AS total
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+def q_topk_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 vocabulary fit logic with a SQL-expressible tokenizer: doc-freq
+    filter (min_df=5) + top-50 by (tf desc, term asc) — the reference's
+    min_df/max_features semantics with our deterministic tie-break."""
+    toks = _tokens_df(spark, sf_dir)
+    stats = toks.groupBy("term").agg(
+        F.count(F.lit(1)).alias("tf"), F.countDistinct("doc_id").alias("df")
+    )
+    w = Window.orderBy(F.col("tf").desc(), F.col("term"))
+    return (
+        stats.filter(F.col("df") >= 5)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 50)
+        .select("term", "tf", "df", "rank")
+    )
+
+
+SQL_TOPK_VOCAB = f"""
+WITH {TOKENS_CTE.strip().lstrip()}
+, stats AS (
+  SELECT term, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
+  FROM tokens GROUP BY term
+)
+SELECT term, tf, df,
+       CAST(ROW_NUMBER() OVER (ORDER BY tf DESC, term) AS INTEGER) AS rank
+FROM stats WHERE df >= 5
+QUALIFY rank <= 50
+"""
+
+
+# ---------------------------------------------------------------------------
+# windowed / ordered operators on derived transcripts (SURVEY.md §2.7)
+# ---------------------------------------------------------------------------
+
+
+def q_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = transcripts_df(spark, sf_dir)
+    out = win_op.with_lag_lead(t, cols=("text",), k=1)
+    return out.select(
+        "conv_id",
+        "turn_idx",
+        "text",
+        "prev_text",
+        "next_text",
+        F.col("ts").cast("timestamp").cast("long").alias("ts_ep"),
+    )
+
+
+SQL_LAG_LEAD = f"""
+WITH {TRANSCRIPTS_CTE.strip()}
+SELECT conv_id, turn_idx, text,
+       LAG(text, 1) OVER w AS prev_text,
+       LEAD(text, 1) OVER w AS next_text,
+       CAST(FLOOR(epoch(ts)) AS BIGINT) AS ts_ep
+FROM transcripts
+WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx, ts)
+"""
+
+
+def q_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = transcripts_df(spark, sf_dir)
+    return win_op.with_backfill(t, col="tool").select(
+        "conv_id", "turn_idx", "tool", "tool_ffill"
+    )
+
+
+SQL_BACKFILL = f"""
+WITH {TRANSCRIPTS_CTE.strip()}
+SELECT conv_id, turn_idx, tool,
+       LAST_VALUE(tool IGNORE NULLS) OVER (
+         PARTITION BY conv_id ORDER BY turn_idx, ts
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tool_ffill
+FROM transcripts
+"""
+
+
+def q_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = transcripts_df(spark, sf_dir)
+    w = win_op.conv_window().rowsBetween(-3, 0)
+    return t.select(
+        "conv_id",
+        "turn_idx",
+        F.count(F.lit(1)).over(w).alias("turns_last3"),
+        F.round(F.avg(F.length("text")).over(w), 4).alias("avg_len_last3"),
+    )
+
+
+SQL_ROLLING = f"""
+WITH {TRANSCRIPTS_CTE.strip()}
+SELECT conv_id, turn_idx,
+       COUNT(*) OVER w AS turns_last3,
+       ROUND(AVG(LENGTH(text)) OVER w, 4) AS avg_len_last3
+FROM transcripts
+WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx, ts
+             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+"""
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = transcripts_df(spark, sf_dir)
+    return win_op.with_session(t, gap_s=1800).select(
+        "conv_id", "turn_idx", "is_session_start", "session_seq", "session_id"
+    )
+
+
+SQL_SESSIONIZE = f"""
+WITH {TRANSCRIPTS_CTE.strip()},
+marked AS (
+  SELECT conv_id, turn_idx, ts,
+         CASE WHEN FLOOR(epoch(ts)) - FLOOR(epoch(LAG(ts, 1) OVER w)) > 1800
+                OR LAG(ts, 1) OVER w IS NULL THEN 1 ELSE 0 END AS is_session_start
+  FROM transcripts
+  WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx, ts)
+)
+SELECT conv_id, turn_idx, CAST(is_session_start AS INTEGER) AS is_session_start,
+       SUM(is_session_start) OVER (PARTITION BY conv_id ORDER BY turn_idx, ts
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq,
+       conv_id || '#' || CAST(SUM(is_session_start) OVER (PARTITION BY conv_id
+         ORDER BY turn_idx, ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS STRING) AS session_id
+FROM marked
+"""
+
+
+def q_session_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = transcripts_df(spark, sf_dir)
+    s = win_op.with_session(t, gap_s=1800)
+    return s.groupBy("session_id").agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        (F.max(F.col("ts").cast("timestamp").cast("long")) - F.min(F.col("ts").cast("timestamp").cast("long"))).alias(
+            "duration_s"
+        ),
+        F.countDistinct("role").alias("n_roles"),
+    )
+
+
+SQL_SESSION_AGG = f"""
+WITH {TRANSCRIPTS_CTE.strip()},
+marked AS (
+  SELECT *, CASE WHEN FLOOR(epoch(ts)) - FLOOR(epoch(LAG(ts, 1) OVER w)) > 1800
+                   OR LAG(ts, 1) OVER w IS NULL THEN 1 ELSE 0 END AS st
+  FROM transcripts
+  WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx, ts)
+),
+sess AS (
+  SELECT *, conv_id || '#' || CAST(SUM(st) OVER (PARTITION BY conv_id
+    ORDER BY turn_idx, ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    AS STRING) AS session_id
+  FROM marked
+)
+SELECT session_id, COUNT(*) AS n_turns,
+       MAX(CAST(FLOOR(epoch(ts)) AS BIGINT)) - MIN(CAST(FLOOR(epoch(ts)) AS BIGINT)) AS duration_s,
+       COUNT(DISTINCT role) AS n_roles
+FROM sess GROUP BY session_id
+"""
+
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3: point-in-time purchase value at each turn; DuckDB ASOF JOIN oracle."""
+    t = transcripts_df(spark, sf_dir)
+    p = profile_df(spark, sf_dir)
+    out = asof_op.asof_join(t, p, on="ts", by="conv_id", right_ts_alias="profile_ts")
+    return out.select(
+        "conv_id",
+        "turn_idx",
+        F.col("ts").cast("timestamp").cast("long").alias("ts_ep"),
+        F.col("profile_ts").cast("timestamp").cast("long").alias("profile_ts_ep"),
+        "purchase_value",
+    )
+
+
+SQL_ASOF_JOIN = f"""
+WITH {TRANSCRIPTS_CTE.strip()},
+{PROFILE_CTE.strip()}
+SELECT t.conv_id, t.turn_idx,
+       CAST(FLOOR(epoch(t.ts)) AS BIGINT) AS ts_ep,
+       CAST(FLOOR(epoch(p.ts)) AS BIGINT) AS profile_ts_ep,
+       p.purchase_value
+FROM transcripts t
+ASOF LEFT JOIN profile p ON t.conv_id = p.conv_id AND t.ts >= p.ts
+"""
+
+
+# ---------------------------------------------------------------------------
+# dedup / text-analysis / splits / similarity (training-data pipeline ops)
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on content, keep min doc_id (survivor set)."""
+    docs = _read(spark, sf_dir, "documents")
+    return docs.groupBy("text").agg(
+        F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies")
+    ).select("keep_id", "n_copies")
+
+
+SQL_DEDUP_EXACT = """
+SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+FROM documents GROUP BY text
+"""
+
+
+def q_dedup_fuzzy_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P12 (deduplicate_rants.py:12-21) generalization: look-ahead-3 sliding
+    window within source, Levenshtein similarity ratio per candidate pair."""
+    docs = _read(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("doc_id")
+    pairs = None
+    for k in (1, 2, 3):
+        p = docs.select(
+            "doc_id",
+            F.lead("doc_id", k).over(w).alias("cand_id"),
+            F.round(
+                100.0
+                * (
+                    1.0
+                    - F.levenshtein("text", F.lead("text", k).over(w))
+                    / F.greatest(
+                        F.length("text"), F.length(F.lead("text", k).over(w)), F.lit(1)
+                    )
+                ),
+                2,
+            ).alias("ratio"),
+        ).filter(F.col("cand_id").isNotNull())
+        pairs = p if pairs is None else pairs.unionByName(p)
+    return pairs
+
+
+SQL_DEDUP_FUZZY_WINDOW = """
+WITH w AS (
+  SELECT doc_id, text,
+         LEAD(doc_id, 1) OVER win AS d1, LEAD(text, 1) OVER win AS t1,
+         LEAD(doc_id, 2) OVER win AS d2, LEAD(text, 2) OVER win AS t2,
+         LEAD(doc_id, 3) OVER win AS d3, LEAD(text, 3) OVER win AS t3
+  FROM documents
+  WINDOW win AS (PARTITION BY source ORDER BY doc_id)
+)
+SELECT doc_id, d1 AS cand_id,
+       ROUND(100.0 * (1.0 - levenshtein(text, t1) * 1.0 / GREATEST(LENGTH(text), LENGTH(t1), 1)), 2) AS ratio
+FROM w WHERE d1 IS NOT NULL
+UNION ALL
+SELECT doc_id, d2,
+       ROUND(100.0 * (1.0 - levenshtein(text, t2) * 1.0 / GREATEST(LENGTH(text), LENGTH(t2), 1)), 2)
+FROM w WHERE d2 IS NOT NULL
+UNION ALL
+SELECT doc_id, d3,
+       ROUND(100.0 * (1.0 - levenshtein(text, t3) * 1.0 / GREATEST(LENGTH(text), LENGTH(t3), 1)), 2)
+FROM w WHERE d3 IS NOT NULL
+"""
+
+
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = _tokens_df(spark, sf_dir)
+    return toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tokens"))
+
+
+SQL_TOKEN_COUNT = f"""
+WITH {TOKENS_CTE.strip()}
+SELECT doc_id, COUNT(*) AS n_tokens FROM tokens GROUP BY doc_id
+"""
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length / avg token length / stopword ratio / punct ratio."""
+    docs = _read(spark, sf_dir, "documents")
+    toks = _tokens_df(spark, sf_dir)
+    tok_stats = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(F.avg(F.length("term")), 4).alias("avg_token_len"),
+        F.round(
+            F.sum(F.when(F.col("term").isin(*sorted(STOPWORDS)), 1).otherwise(0))
+            / F.count(F.lit(1)),
+            4,
+        ).alias("stopword_ratio"),
+    )
+    return docs.join(tok_stats, "doc_id").select(
+        "doc_id",
+        F.length("text").alias("len_chars"),
+        "n_tokens",
+        "avg_token_len",
+        "stopword_ratio",
+        F.round(
+            F.length(F.regexp_replace("text", "[a-z0-9 ]", ""))
+            / F.greatest(F.length("text"), F.lit(1)),
+            4,
+        ).alias("punct_ratio"),
+    )
+
+
+SQL_QUALITY_SCORE = f"""
+WITH {TOKENS_CTE.strip()},
+tok_stats AS (
+  SELECT doc_id, COUNT(*) AS n_tokens,
+         ROUND(AVG(LENGTH(term)), 4) AS avg_token_len,
+         ROUND(SUM(CASE WHEN term IN {STOPWORDS_SQL} THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 4) AS stopword_ratio
+  FROM tokens GROUP BY doc_id
+)
+SELECT d.doc_id, LENGTH(d.text) AS len_chars, t.n_tokens, t.avg_token_len, t.stopword_ratio,
+       ROUND(LENGTH(regexp_replace(d.text, '[a-z0-9 ]', '', 'g')) * 1.0 / GREATEST(LENGTH(d.text), 1), 4) AS punct_ratio
+FROM documents d JOIN tok_stats t USING (doc_id)
+"""
+
+
+def q_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 (KFold): deterministic fold assignment + per-fold counts."""
+    docs = _read(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("fold", (F.col("doc_id") % 5).cast("int"))
+        .groupBy("fold")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+SQL_KFOLD = """
+SELECT CAST(doc_id % 5 AS INTEGER) AS fold, COUNT(*) AS n
+FROM documents GROUP BY 1
+"""
+
+
+def q_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1 (stratified split): per-stratum round-robin fold, per (label, fold) counts."""
+    emb = _read(spark, sf_dir, "embeddings")
+    w = Window.partitionBy("label").orderBy("vec_id")
+    return (
+        emb.withColumn("fold", ((F.row_number().over(w) - 1) % 3).cast("int"))
+        .groupBy("label", "fold")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+SQL_STRATIFIED_SPLIT = """
+WITH assigned AS (
+  SELECT label,
+         CAST((ROW_NUMBER() OVER (PARTITION BY label ORDER BY vec_id) - 1) % 3 AS INTEGER) AS fold
+  FROM embeddings
+)
+SELECT label, fold, COUNT(*) AS n FROM assigned GROUP BY label, fold
+"""
+
+
+def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for query vectors (vec_id < 3): the ANN
+    baseline.  Query side is broadcast; similarity computed JVM-side with
+    higher-order array functions (no UDF)."""
+    emb = _read(spark, sf_dir, "embeddings")
+    d = emb.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("vec")
+    )
+    q = d.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("vec").alias("qvec")
+    )
+    dot = F.aggregate(
+        F.zip_with("qvec", "vec", lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
+    )
+    nq = F.sqrt(F.aggregate("qvec", F.lit(0.0), lambda acc, x: acc + x * x))
+    nv = F.sqrt(F.aggregate("vec", F.lit(0.0), lambda acc, x: acc + x * x))
+    pairs = (
+        F.broadcast(q)
+        .crossJoin(d)
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", F.col("vec_id").alias("nid"), F.round(dot / (nq * nv), 4).alias("sim"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("nid"))
+    return pairs.withColumn("rank", F.row_number().over(w).cast("int")).filter(
+        F.col("rank") <= 5
+    )
+
+
+SQL_KNN_COSINE = """
+WITH d AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+q AS (SELECT vec_id AS qid, vec AS qvec FROM d WHERE vec_id < 3),
+pairs AS (
+  SELECT q.qid, d.vec_id AS nid,
+         ROUND(list_cosine_similarity(q.qvec, d.vec), 4) AS sim
+  FROM q, d WHERE d.vec_id <> q.qid
+)
+SELECT qid, nid, sim,
+       CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS INTEGER) AS rank
+FROM pairs QUALIFY rank <= 5
+"""
+
+
+# ---------------------------------------------------------------------------
+# rows-only queries (Arrow-UDF semantics not expressible in ANSI SQL;
+# allclose-verified against the golden pipeline in tests/)
+# ---------------------------------------------------------------------------
+
+
+def q_rant_stats_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.4: the 19-field feature map over derived transcripts (Arrow UDF)."""
+    t = transcripts_df(spark, sf_dir)
+    out = textfeats.with_rant_stats(t)
+    return out.select(
+        "conv_id",
+        "turn_idx",
+        *[F.round(F.col(f"`{c}`"), 6).alias(c) for c in textfeats.feature_fields()],
+    )
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "scan_filter_project": q_scan_filter_project,
+    "union_labeled": q_union_labeled,
+    "target_derivation": q_target_derivation,
+    "groupby_stats": q_groupby_stats,
+    "broadcast_join_agg": q_broadcast_join_agg,
+    "topk_vocab": q_topk_vocab,
+    "lag_lead": q_lag_lead,
+    "backfill": q_backfill,
+    "rolling": q_rolling,
+    "sessionize": q_sessionize,
+    "session_agg": q_session_agg,
+    "asof_join": q_asof_join,
+    "dedup_exact": q_dedup_exact,
+    "dedup_fuzzy_window": q_dedup_fuzzy_window,
+    "token_count": q_token_count,
+    "quality_score": q_quality_score,
+    "kfold": q_kfold,
+    "stratified_split": q_stratified_split,
+    "knn_cosine": q_knn_cosine,
+    "rant_stats_features": q_rant_stats_features,
+}
+
+ORACLES: dict[str, str] = {
+    "scan_filter_project": SQL_SCAN_FILTER_PROJECT,
+    "union_labeled": SQL_UNION_LABELED,
+    "target_derivation": SQL_TARGET_DERIVATION,
+    "groupby_stats": SQL_GROUPBY_STATS,
+    "broadcast_join_agg": SQL_BROADCAST_JOIN_AGG,
+    "topk_vocab": SQL_TOPK_VOCAB,
+    "lag_lead": SQL_LAG_LEAD,
+    "backfill": SQL_BACKFILL,
+    "rolling": SQL_ROLLING,
+    "sessionize": SQL_SESSIONIZE,
+    "session_agg": SQL_SESSION_AGG,
+    "asof_join": SQL_ASOF_JOIN,
+    "dedup_exact": SQL_DEDUP_EXACT,
+    "dedup_fuzzy_window": SQL_DEDUP_FUZZY_WINDOW,
+    "token_count": SQL_TOKEN_COUNT,
+    "quality_score": SQL_QUALITY_SCORE,
+    "kfold": SQL_KFOLD,
+    "stratified_split": SQL_STRATIFIED_SPLIT,
+    "knn_cosine": SQL_KNN_COSINE,
+    # rant_stats_features: rows-only (Arrow UDF; allclose-tested vs golden)
+}
