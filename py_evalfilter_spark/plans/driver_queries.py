@@ -42,7 +42,10 @@ def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def transcripts_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events → transcripts(conv_id, turn_idx, role, text, tool, ts)."""
-    ev = _read(spark, sf_dir, "events")
+    return transcripts_from_events(_read(spark, sf_dir, "events"))
+
+
+def transcripts_from_events(ev: DataFrame) -> DataFrame:
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     return ev.select(
         F.concat(F.lit("conv_"), F.col("user_id").cast("string")).alias("conv_id"),
@@ -74,7 +77,10 @@ transcripts AS (
 def profile_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events(purchase) → slowly-changing side table (conv_id, ts, purchase_value);
     unique (conv_id, ts) by max-value dedup."""
-    ev = _read(spark, sf_dir, "events")
+    return profile_from_events(_read(spark, sf_dir, "events"))
+
+
+def profile_from_events(ev: DataFrame) -> DataFrame:
     return (
         ev.filter(F.col("event_type") == "purchase")
         .groupBy(

@@ -1,0 +1,63 @@
+"""End-to-end feature pipeline (SURVEY.md §3.4): the engine's flagship plan.
+
+transcripts → Arrow feature map → windowed features (one conv_id Exchange)
+→ as-of profile merge (bucketed cogroup) → wide per-turn feature rows.
+
+Scale notes (what survives a 1000-executor / 100 TB run):
+  * the transcripts derivation's row_number window hash-partitions by user
+    across `spark.sql.shuffle.partitions` — the per-turn Arrow feature map
+    inherits that balanced partitioning, so mega-conversations can't skew
+    the map stage (per-turn features never cross rows → salting-safe);
+  * all window features share a single conv_id Exchange;
+  * the as-of merge buckets by xxhash64(conv_id) → task count independent
+    of conversation cardinality; AQE (enabled in session.py) rebalances
+    residual skew;
+  * nothing collects to the driver; output is a DataFrame for the sink.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..functions import textfeats
+from ..operators import asof as asof_op
+from ..operators import windows as win_op
+from . import driver_queries as dq
+
+
+def feature_pipeline(
+    spark: SparkSession,
+    sf_dir: str,
+    gap_s: int = 1800,
+    min_map_partitions: int | None = None,
+) -> DataFrame:
+    """Full pipeline over the events-derived transcripts at ``sf_dir``."""
+    t = dq.transcripts_df(spark, sf_dir)
+    if min_map_partitions:
+        t = t.repartition(min_map_partitions)
+    feats = textfeats.with_rant_stats(t)
+    windowed = win_op.with_session(
+        win_op.with_rolling_count(win_op.with_backfill(feats)), gap_s=gap_s
+    )
+    profile = dq.profile_df(spark, sf_dir)
+    return asof_op.asof_join(
+        windowed, profile, on="ts", by="conv_id", right_ts_alias="profile_ts"
+    )
+
+
+def feature_pipeline_from_df(
+    transcripts: DataFrame,
+    profile: DataFrame | None = None,
+    gap_s: int = 1800,
+) -> DataFrame:
+    """Same plan over caller-provided transcript / profile DataFrames
+    (e.g. the datagen fixtures or a real Iceberg table)."""
+    feats = textfeats.with_rant_stats(transcripts)
+    windowed = win_op.with_session(
+        win_op.with_rolling_count(win_op.with_backfill(feats)), gap_s=gap_s
+    )
+    if profile is None:
+        return windowed
+    return asof_op.asof_join(
+        windowed, profile, on="ts", by="conv_id", right_ts_alias="profile_ts"
+    )
