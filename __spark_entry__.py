@@ -34,7 +34,7 @@ def entry(spark: SparkSession) -> DataFrame:
     feats = textfeats.with_rant_stats(t)
     windowed = win_op.with_session(win_op.with_backfill(feats))
     p = dq.profile_df(spark, sf_dir)
-    return asof_op.asof_join(windowed, p, on="ts", by="conv_id", right_ts_alias="profile_ts")
+    return asof_op.asof_join_union_window(windowed, p, on="ts", by="conv_id", right_ts_alias="profile_ts")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -73,14 +73,50 @@ def run_level(cpus: int) -> dict:
     return json.loads(out.stdout.strip().splitlines()[-1])
 
 
+def _burn(n: int) -> int:
+    s = 0
+    for i in range(n):
+        s += i * i
+    return s
+
+
+def hardware_ceiling() -> float:
+    """Measured pure-CPU scaling ceiling of this VM (8→32 python processes).
+
+    The sandbox VM does not deliver a full 4x from 4x processes even for
+    embarrassingly-parallel pure-Python compute; report that ceiling next to
+    the engine's efficiency so the engine isn't blamed for the box.
+    """
+    import multiprocessing as mp
+
+    walls = {}
+    for procs in (8, 32):
+        with mp.Pool(procs) as pool:
+            t0 = time.perf_counter()
+            pool.map(_burn, [3_000_000] * 128)
+            walls[procs] = time.perf_counter() - t0
+    return round((walls[8] / walls[32]) / 4.0, 3)
+
+
+JVMS_PER_LEVEL = int(os.environ.get("SCALING_JVMS", "2"))
+
+
 def main() -> None:
-    levels = {}
-    for cpus in (8, 32):
-        r = run_level(cpus)
+    levels: dict[int, dict] = {}
+    # interleave levels across fresh JVMs; keep the best JVM per level
+    # (occasional JVMs land in a degraded state on this VM — 3-7x slower —
+    # so a single sample per level is meaningless)
+    for _ in range(JVMS_PER_LEVEL):
+        for cpus in (8, 32):
+            r = run_level(cpus)
+            cur = levels.get(cpus)
+            if cur is None or r["sec"] < cur["sec"]:
+                levels[cpus] = r
+            print(f"local[{cpus}]: {r['rows']} turns in {r['sec']}s")
+    for cpus, r in levels.items():
         r["turns_per_sec"] = round(r["rows"] / r["sec"], 1)
-        levels[cpus] = r
-        print(f"local[{cpus}]: {r['rows']} turns in {r['sec']}s -> {r['turns_per_sec']} turns/sec")
     eff = round((levels[32]["turns_per_sec"] / levels[8]["turns_per_sec"]) / 4.0, 3)
+    ceiling = hardware_ceiling()
     result = {
         "sf_dir": SF_DIR,
         "multiplier": MULTIPLIER,
@@ -89,6 +125,8 @@ def main() -> None:
         "thr_N": levels[8]["turns_per_sec"],
         "thr_4N": levels[32]["turns_per_sec"],
         "scaling_efficiency": eff,
+        "hardware_ceiling_efficiency": ceiling,
+        "normalized_efficiency": round(eff / ceiling, 3) if ceiling else None,
     }
     print(json.dumps(result))
 
@@ -104,12 +142,12 @@ def main() -> None:
                 "input at two parallelism levels (local[8] = N, local[32] = 4N standing\n"
                 "in for N vs 4N executors per BASELINE.md), best of repeats, JVM\n"
                 "startup excluded.\n\n"
-                "| input | rows | thr @ local[8] (turns/s) | thr @ local[32] (turns/s) | efficiency (thr4N/thrN)/4 |\n"
-                "|---|---|---|---|---|\n"
+                "| input | rows | thr @ local[8] (turns/s) | thr @ local[32] (turns/s) | efficiency (thr4N/thrN)/4 | HW ceiling (pure-CPU 8->32) | normalized |\n"
+                "|---|---|---|---|---|---|---|\n"
             )
         fp.write(
             f"| {SF_DIR} x{MULTIPLIER} | {levels[32]['rows']} | {levels[8]['turns_per_sec']} | "
-            f"{levels[32]['turns_per_sec']} | {eff} |\n"
+            f"{levels[32]['turns_per_sec']} | {eff} | {ceiling} | {result['normalized_efficiency']} |\n"
         )
 
 

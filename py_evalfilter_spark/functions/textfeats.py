@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from .. import textcore as tc
+from .. import textcore_fast as tcf
 
 # Spark schema of the 19-feature struct, in DictVectorizer (alpha-sorted) order.
 # Counts are emitted as doubles so the output matrix is uniformly float64
@@ -35,9 +36,11 @@ def feature_fields() -> list[str]:
 
 
 def _stats_frame(texts: pd.Series) -> pd.DataFrame:
-    rows = [tc.rant_stats(tc.nfkc(t if isinstance(t, str) else "")) for t in texts]
-    out = pd.DataFrame(rows, index=texts.index, columns=list(tc.FEATURE_NAMES))
-    return out.astype("float64")
+    # vectorized path; exact-parity with textcore.rant_stats is pinned by
+    # tests/test_textcore_fast.py (fixtures + hypothesis fuzz)
+    out = tcf.batch_rant_stats(texts.tolist())
+    out.index = texts.index
+    return out
 
 
 def with_rant_stats(df: DataFrame, text_col: str = "text") -> DataFrame:

@@ -22,11 +22,81 @@ Physical strategy (scale-first):
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 _BUCKET = "__asof_bucket"
+
+
+def asof_join_union_window(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "ts",
+    by: str = "conv_id",
+    right_ts_alias: str | None = None,
+    tolerance_s: int | None = None,
+) -> DataFrame:
+    """Backward as-of join with identical semantics to :func:`asof_join`,
+    implemented entirely JVM-side (the pipeline default).
+
+    Strategy: tag and union both sides, then one window pass
+    ``partitionBy(by).orderBy(on, side)`` forward-fills the right columns
+    onto later left rows (right sorts before left at equal ``on`` so exact
+    matches are visible — merge_asof allow_exact_matches=True semantics);
+    finally keep only left rows.
+
+    vs the cogroup/merge_asof variant: no Arrow round-trip of the (wide)
+    left columns, whole-stage-codegen window, ONE shuffle on ``by`` that
+    Catalyst can reuse for adjacent window stages.  Ties among right rows at
+    the same (by, on) resolve to the last in order — same as merge_asof.
+    """
+    right_ts_alias = right_ts_alias or f"{on}_right"
+    rv_names = [f.name for f in right.schema.fields if f.name not in (by, on)]
+
+    lt = left.select(
+        "*",
+        F.lit(1).alias("__side"),
+        F.lit(None).cast(right.schema[on].dataType).alias(right_ts_alias),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in rv_names],
+    )
+    left_nulls = [
+        F.lit(None).cast(f.dataType).alias(f.name)
+        for f in left.schema.fields
+        if f.name not in (by, on)
+    ]
+    rt = right.select(
+        F.col(by),
+        F.col(on),
+        *left_nulls,
+        F.lit(0).alias("__side"),
+        F.col(on).alias(right_ts_alias),
+        *[F.col(c).alias(f"__r_{c}") for c in rv_names],
+    ).select(*lt.columns)  # align column order with the left branch
+
+    w = (
+        Window.partitionBy(by)
+        .orderBy(F.col(on).asc(), F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = rt.unionByName(lt)
+    for c in [right_ts_alias] + [f"__r_{c}" for c in rv_names]:
+        filled = filled.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    out = filled.filter(F.col("__side") == 1).drop("__side")
+    if tolerance_s is not None:
+        out = out.withColumn(
+            "__stale",
+            F.col(on).cast("timestamp").cast("long")
+            - F.col(right_ts_alias).cast("timestamp").cast("long"),
+        )
+        for c in [right_ts_alias] + [f"__r_{c}" for c in rv_names]:
+            out = out.withColumn(
+                c, F.when(F.col("__stale") <= tolerance_s, F.col(c)).otherwise(F.lit(None))
+            )
+        out = out.drop("__stale")
+    for c in rv_names:
+        out = out.withColumnRenamed(f"__r_{c}", c)
+    return out
 
 
 def _pandas_dtype(spark_type: T.DataType) -> str | None:

@@ -1,0 +1,415 @@
+"""Deduplication operators for training-data pipelines.
+
+Five strategies, scale-ranked:
+  * exact_dedup          — hash-groupBy on content; one shuffle.
+  * fuzzy_window_pairs   — the reference's look-ahead-k Levenshtein scan
+                           (deduplicate_rants.py:12-21 semantics) as a window.
+  * ngram_jaccard_pairs  — exact char-shingle Jaccard via shingle self-join;
+                           hot shingles capped by document frequency (classic
+                           "stop-shingle" cut) so the join can't quadratically
+                           explode on boilerplate.
+  * minhash_lsh_pairs    — MinHash signatures (vectorized numpy, universal
+                           hashing over crc32 shingle hashes) → banded LSH
+                           buckets → candidate pairs → EXACT Jaccard verify,
+                           so precision is 1.0 and only recall depends on
+                           (num_perm, bands).
+  * simhash_pairs        — 64-bit SimHash over token crc32s → 4x16-bit band
+                           blocking → exact Hamming verify.
+
+All hashing is seeded/deterministic (crc32 + fixed LCG coefficients) — no
+PYTHONHASHSEED dependence, identical across executors and runs.
+
+Scale notes: every strategy is groupBy/join-shaped (no driver collection);
+candidate verification joins text in only for candidate pairs (a tiny
+fraction of the corpus); bucket keys are content hashes so skew only arises
+from true duplicate floods, which AQE skew-join splitting absorbs.
+"""
+
+from __future__ import annotations
+
+import zlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_MERSENNE = (1 << 61) - 1
+
+
+def exact_dedup(df: DataFrame, content_cols: list[str], id_col: str) -> DataFrame:
+    """Survivor set: min id per distinct content."""
+    return df.groupBy(*content_cols).agg(
+        F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_copies")
+    )
+
+
+def fuzzy_window_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    order_col: str,
+    partition_col: str | None = None,
+    lookahead: int = 3,
+    threshold: float = 90.0,
+) -> DataFrame:
+    """Reference-shaped near-dup scan: each row vs the next ``lookahead`` rows
+    in ``order_col`` order, Levenshtein similarity ratio > threshold."""
+    w = (
+        Window.partitionBy(partition_col).orderBy(order_col)
+        if partition_col
+        else Window.orderBy(order_col)
+    )
+    parts = []
+    for k in range(1, lookahead + 1):
+        cand_text = F.lead(text_col, k).over(w)
+        ratio = 100.0 * (
+            1.0
+            - F.levenshtein(text_col, cand_text)
+            / F.greatest(F.length(text_col), F.length(cand_text), F.lit(1))
+        )
+        parts.append(
+            df.select(
+                F.col(id_col).alias("doc_id"),
+                F.lead(id_col, k).over(w).alias("dup_id"),
+                F.round(ratio, 2).alias("ratio"),
+            ).filter(F.col("dup_id").isNotNull() & (F.col("ratio") > threshold))
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# char-shingle helpers
+# ---------------------------------------------------------------------------
+
+
+def _shingles_df(
+    df: DataFrame, id_col: str, text_col: str, n: int, max_shingle_df: int | None
+) -> DataFrame:
+    """(id, shingle) distinct pairs; optionally drop shingles appearing in
+    more than ``max_shingle_df`` docs (stop-shingle cut for join safety)."""
+    arr = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.length(text_col) - n, F.lit(0))),
+        lambda i: F.substring(F.col(text_col), 1, 0).__class__
+        and F.expr(f"substr({text_col}, CAST({{i}} AS INT) + 1, {n})".format(i="i")),
+    )
+    # simpler + JVM-side: sequence of start offsets → substr via transform
+    sh = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(
+                        F.lit(1), F.greatest(F.length(text_col) - (n - 1), F.lit(1))
+                    ),
+                    lambda i: F.substring_index(F.lit(""), "", 1).__class__
+                    and F.col(text_col).substr(i, F.lit(n)),
+                )
+            )
+        ).alias("shingle"),
+    ).filter(F.length("shingle") > 0)
+    if max_shingle_df is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.countDistinct("doc_id").alias("sdf"))
+            .filter(F.col("sdf") > max_shingle_df)
+            .select("shingle")
+        )
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    return sh
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+    max_shingle_df: int | None = 1000,
+) -> DataFrame:
+    """Exact char-n-gram Jaccard ≥ threshold via distinct-shingle self-join."""
+    sh = _shingles_df(df, id_col, text_col, n, max_shingle_df).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, F.col("a.shingle") == F.col("b.shingle"))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_id"), F.col("b.doc_id").alias("dup_id"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sizes.select(F.col("doc_id"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("dup_id"), F.col("sz").alias("sz_b"))
+    out = (
+        common.join(sa, "doc_id")
+        .join(sb, "dup_id")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("common") / (F.col("sz_a") + F.col("sz_b") - F.col("common")), 4
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_id", "dup_id", "jaccard")
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def _minhash_coeffs(num_perm: int, seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, _MERSENNE, size=num_perm, dtype=np.int64).astype(np.uint64)
+    b = rng.randint(0, _MERSENNE, size=num_perm, dtype=np.int64).astype(np.uint64)
+    return a, b
+
+
+def _char_shingle_hashes(text: str, n: int) -> np.ndarray:
+    if not isinstance(text, str) or len(text) == 0:
+        return np.empty(0, dtype=np.uint64)
+    m = max(len(text) - n + 1, 1)
+    hs = {zlib.crc32(text[i : i + n].encode("utf-8")) for i in range(m)}
+    return np.fromiter(hs, dtype=np.uint64, count=len(hs))
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_perm: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """(id, signature:array<bigint>) — vectorized universal min-hash over
+    crc32 char-shingle hashes, one Arrow pass."""
+    a, b = _minhash_coeffs(num_perm, seed)
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", df.schema[id_col].dataType, False),
+            T.StructField("signature", T.ArrayType(T.LongType()), False),
+        ]
+    )
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            sigs = []
+            for text in pdf[text_col]:
+                hs = _char_shingle_hashes(text, n)
+                if hs.size == 0:
+                    sigs.append(np.full(num_perm, np.iinfo(np.int64).max).tolist())
+                    continue
+                # (a*h + b) mod p, min over shingles, per permutation
+                vals = (hs[None, :] * a[:, None] + b[:, None]) % _MERSENNE
+                sigs.append(vals.min(axis=1).astype(np.int64).tolist())
+            yield pd.DataFrame({"doc_id": pdf[id_col], "signature": sigs})
+
+    return df.select(id_col, text_col).mapInPandas(compute, schema=out_schema)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_perm: int = 64,
+    bands: int = 16,
+    threshold: float = 0.8,
+    seed: int = 42,
+) -> DataFrame:
+    """Banded-LSH candidates verified with EXACT shingle Jaccard.
+
+    bands=16, num_perm=64 → r=4 rows/band: candidate probability at
+    jaccard j is 1-(1-j^4)^16 (≈0.99 at j=0.8).
+    """
+    assert num_perm % bands == 0
+    r = num_perm // bands
+    sigs = minhash_signatures(df, id_col, text_col, n, num_perm, seed)
+    banded = sigs.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda bi: F.slice(F.col("signature"), bi * r + 1, r),
+            )
+        ).alias("band", "band_sig"),
+    ).select("doc_id", "band", F.xxhash64(F.col("band_sig").cast("string"), F.col("band")).alias("bucket"))
+    l = banded.alias("l")
+    rt = banded.alias("r")
+    cands = (
+        l.join(
+            rt,
+            (F.col("l.band") == F.col("r.band")) & (F.col("l.bucket") == F.col("r.bucket")),
+        )
+        .filter(F.col("l.doc_id") < F.col("r.doc_id"))
+        .select(F.col("l.doc_id").alias("doc_id"), F.col("r.doc_id").alias("dup_id"))
+        .distinct()
+    )
+    # exact verify: join candidate pairs back to texts, Jaccard in an Arrow pass
+    texts = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__text"))
+    pairs = (
+        cands.join(texts, "doc_id")
+        .withColumnRenamed("__text", "text_a")
+        .join(texts.withColumnRenamed("doc_id", "dup_id"), "dup_id")
+        .withColumnRenamed("__text", "text_b")
+    )
+
+    @F.pandas_udf(T.DoubleType())
+    def jaccard_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+        def j(x, y):
+            sx = {x[i : i + n] for i in range(max(len(x) - n + 1, 1))} if isinstance(x, str) and x else set()
+            sy = {y[i : i + n] for i in range(max(len(y) - n + 1, 1))} if isinstance(y, str) and y else set()
+            if not sx and not sy:
+                return 1.0
+            u = len(sx | sy)
+            return len(sx & sy) / u if u else 0.0
+
+        return pd.Series([round(j(x, y), 4) for x, y in zip(a, b)])
+
+    return (
+        pairs.withColumn("jaccard", jaccard_udf("text_a", "text_b"))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_id", "dup_id", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, token_re: str = "[^a-z0-9]+"
+) -> DataFrame:
+    """(id, simhash:bigint) — 64-bit SimHash over crc32-derived token hashes
+    (two crc32 salts → 64 deterministic bits), tf-weighted."""
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", df.schema[id_col].dataType, False),
+            T.StructField("simhash", T.LongType(), False),
+        ]
+    )
+    import re
+
+    tok_re = re.compile(token_re)
+
+    def h64(tok: str) -> int:
+        lo = zlib.crc32(tok.encode("utf-8"))
+        hi = zlib.crc32(tok.encode("utf-8"), 0x9E3779B9)
+        return (hi << 32) | lo
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for text in pdf[text_col]:
+                toks = [t for t in tok_re.split(text.lower())] if isinstance(text, str) else []
+                toks = [t for t in toks if t]
+                if not toks:
+                    out.append(0)
+                    continue
+                acc = np.zeros(64, dtype=np.int64)
+                shifts = np.arange(64, dtype=np.uint64)
+                for t in toks:
+                    bits = ((np.uint64(h64(t)) >> shifts) & np.uint64(1)).astype(np.int64)
+                    acc += 2 * bits - 1
+                sh = int((acc > 0).astype(np.uint64) @ (np.uint64(1) << np.arange(64, dtype=np.uint64)))
+                out.append(sh - (1 << 64) if sh >= (1 << 63) else sh)
+            yield pd.DataFrame({"doc_id": pdf[id_col], "simhash": out})
+
+    return df.select(id_col, text_col).mapInPandas(compute, schema=out_schema)
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) <= max_hamming, blocked on four
+    16-bit bands (pigeonhole: any pair within distance 3 shares >= 1 band)."""
+    sigs = simhash_signatures(df, id_col, text_col).cache()
+    banded = sigs.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftrightunsigned("simhash", 16 * i)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("key"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "simhash", "bk.band", "bk.key")
+    l = banded.alias("l")
+    rt = banded.alias("r")
+    cands = (
+        l.join(rt, (F.col("l.band") == F.col("r.band")) & (F.col("l.key") == F.col("r.key")))
+        .filter(F.col("l.doc_id") < F.col("r.doc_id"))
+        .select(
+            F.col("l.doc_id").alias("doc_id"),
+            F.col("r.doc_id").alias("dup_id"),
+            F.col("l.simhash").alias("sh_a"),
+            F.col("r.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        cands.withColumn("hamming", hamming.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_id", "dup_id", "hamming")
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-dup
+# ---------------------------------------------------------------------------
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    n_planes: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """Cosine >= threshold pairs via random-hyperplane bucket blocking +
+    exact verify (JVM-side dot products)."""
+    from .similarity import with_hyperplane_bucket, cosine_expr
+
+    d = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.transform(vec_col, lambda x: x.cast("double")).alias("vec"),
+    )
+    b = with_hyperplane_bucket(d, "vec", n_planes=n_planes, seed=seed)
+    l = b.alias("l")
+    rt = b.alias("r")
+    cands = (
+        l.join(rt, F.col("l.bucket") == F.col("r.bucket"))
+        .filter(F.col("l.doc_id") < F.col("r.doc_id"))
+        .select(
+            F.col("l.doc_id").alias("doc_id"),
+            F.col("r.doc_id").alias("dup_id"),
+            F.col("l.vec").alias("va"),
+            F.col("r.vec").alias("vb"),
+        )
+        .distinct()
+    )
+    return (
+        cands.withColumn("cosine", F.round(cosine_expr("va", "vb"), 4))
+        .filter(F.col("cosine") >= threshold)
+        .select("doc_id", "dup_id", "cosine")
+    )

@@ -1,0 +1,146 @@
+"""Similarity search over embedding columns (array<float>).
+
+* brute_force_topk — exact cosine top-k: broadcast the query set, JVM-side
+  higher-order-function dot products (zip_with + aggregate, whole-stage
+  codegen, no Python).  The correctness baseline; O(|Q|·|D|).
+* lsh_topk — random-hyperplane LSH: seeded hyperplanes → sign-bit bucket →
+  bucket-join candidates (+ optional multi-probe via several independent
+  tables) → exact cosine re-rank.  The scale path: candidates ≪ |D| per
+  query; recall measured against brute force in tests.
+
+All randomness is seeded numpy — identical planes on every executor/run.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def cosine_expr(a: str, b: str):
+    """JVM-side cosine similarity of two array<double> columns."""
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, x: acc + x * x))
+    return dot / (na * nb)
+
+
+def _as_double_vec(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias("vec_id"),
+        F.transform(vec_col, lambda x: x.cast("double")).alias("vec"),
+    )
+
+
+def brute_force_topk(
+    data: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k neighbors (cosine desc, id asc tie-break) per query."""
+    d = _as_double_vec(data, id_col, vec_col)
+    q = _as_double_vec(queries, id_col, vec_col).select(
+        F.col("vec_id").alias("qid"), F.col("vec").alias("qvec")
+    )
+    pairs = (
+        F.broadcast(q)
+        .crossJoin(d)
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            F.col("vec_id").alias("nid"),
+            F.round(cosine_expr("qvec", "vec"), 4).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("nid"))
+    return pairs.withColumn("rank", F.row_number().over(w).cast("int")).filter(
+        F.col("rank") <= k
+    )
+
+
+def _planes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
+    rng = np.random.RandomState(seed)
+    return rng.normal(size=(n_planes, dim)).round(6).tolist()
+
+
+def with_hyperplane_bucket(
+    df: DataFrame,
+    vec_col: str,
+    n_planes: int = 12,
+    seed: int = 42,
+    dim: int | None = None,
+    out: str = "bucket",
+) -> DataFrame:
+    """Append the sign-bit bucket id of the seeded random hyperplanes.
+
+    JVM-side: each plane's dot product via aggregate(zip_with(...)), sign →
+    bit, bits → long.  No Python in the hot path.
+    """
+    if dim is None:
+        first = df.select(F.size(vec_col).alias("d")).first()
+        dim = int(first["d"])
+    planes = _planes(dim, n_planes, seed)
+    bucket = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        parr = F.array(*[F.lit(float(x)) for x in plane])
+        dot = F.aggregate(
+            F.zip_with(F.col(vec_col), parr, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket + F.when(dot >= 0, F.lit(1 << i)).otherwise(F.lit(0)).cast("long")
+    return df.withColumn(out, bucket)
+
+
+def lsh_topk(
+    data: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 4,
+    n_tables: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """ANN top-k: multi-table hyperplane LSH candidates + exact re-rank.
+
+    Recall rises with n_tables (independent plane sets) and falls with
+    n_planes (finer buckets → fewer candidates); candidates are deduped
+    before the exact cosine pass.  Defaults (4 planes x 8 tables) measure
+    recall ~0.7 on the driver's UNclustered random embeddings — the
+    worst case for any LSH; clustered real-world embeddings support more
+    planes (smaller candidate sets) at equal recall.
+    """
+    d = _as_double_vec(data, id_col, vec_col)
+    q = _as_double_vec(queries, id_col, vec_col).select(
+        F.col("vec_id").alias("qid"), F.col("vec").alias("qvec")
+    )
+    cands = None
+    for t in range(n_tables):
+        db = with_hyperplane_bucket(d, "vec", n_planes, seed + 1000 * t)
+        qb = with_hyperplane_bucket(q, "qvec", n_planes, seed + 1000 * t)
+        c = (
+            F.broadcast(qb.select("qid", "bucket"))
+            .join(db.select("vec_id", "bucket"), "bucket")
+            .select("qid", "vec_id")
+        )
+        cands = c if cands is None else cands.unionByName(c)
+    cands = cands.filter(F.col("qid") != F.col("vec_id")).distinct()
+    scored = (
+        cands.join(d, "vec_id")
+        .join(F.broadcast(q), "qid")
+        .select(
+            "qid",
+            F.col("vec_id").alias("nid"),
+            F.round(cosine_expr("qvec", "vec"), 4).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("nid"))
+    return scored.withColumn("rank", F.row_number().over(w).cast("int")).filter(
+        F.col("rank") <= k
+    )

@@ -401,7 +401,7 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J3: point-in-time purchase value at each turn; DuckDB ASOF JOIN oracle."""
     t = transcripts_df(spark, sf_dir)
     p = profile_df(spark, sf_dir)
-    out = asof_op.asof_join(t, p, on="ts", by="conv_id", right_ts_alias="profile_ts")
+    out = asof_op.asof_join_union_window(t, p, on="ts", by="conv_id", right_ts_alias="profile_ts")
     return out.select(
         "conv_id",
         "turn_idx",
@@ -622,6 +622,99 @@ FROM pairs QUALIFY rank <= 5
 """
 
 
+def _vocab50(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared 50-term vocabulary (df>=5, top by tf desc/term asc, lexicographic
+    index) used by the BoW transform queries."""
+    toks = _tokens_df(spark, sf_dir)
+    stats = toks.groupBy("term").agg(
+        F.count(F.lit(1)).alias("tf"), F.countDistinct("doc_id").alias("df")
+    )
+    wtop = Window.orderBy(F.col("tf").desc(), F.col("term"))
+    widx = Window.orderBy("term")
+    return (
+        stats.filter(F.col("df") >= 5)
+        .withColumn("r", F.row_number().over(wtop))
+        .filter(F.col("r") <= 50)
+        .withColumn("index", (F.row_number().over(widx) - 1).cast("int"))
+        .select("term", "df", "index")
+    )
+
+
+VOCAB50_CTE = f"""
+WITH {TOKENS_CTE.strip()},
+stats AS (
+  SELECT term, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
+  FROM tokens GROUP BY term
+),
+cut AS (
+  SELECT term, df FROM stats WHERE df >= 5
+  QUALIFY ROW_NUMBER() OVER (ORDER BY tf DESC, term) <= 50
+),
+vocab AS (
+  SELECT term, df, CAST(ROW_NUMBER() OVER (ORDER BY term) - 1 AS INTEGER) AS index
+  FROM cut
+)
+"""
+
+
+def q_bow_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 transform: per-document sparse term counts over the fitted vocab
+    (long format IS the sparse matrix)."""
+    toks = _tokens_df(spark, sf_dir)
+    vocab = _vocab50(spark, sf_dir)
+    return (
+        toks.join(F.broadcast(vocab), "term")
+        .groupBy("doc_id", "index")
+        .agg(F.count(F.lit(1)).cast("long").alias("value"))
+    )
+
+
+SQL_BOW_COUNTS = f"""
+{VOCAB50_CTE.strip()}
+SELECT t.doc_id, v.index, COUNT(*) AS value
+FROM tokens t JOIN vocab v USING (term)
+GROUP BY t.doc_id, v.index
+"""
+
+
+def q_bow_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2/A3 transform: tf * smooth idf (ln((1+n)/(1+df))+1), l2 row norm —
+    sklearn-0.16 TfidfVectorizer semantics (SURVEY.md §2.5)."""
+    docs = _read(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    toks = _tokens_df(spark, sf_dir)
+    vocab = _vocab50(spark, sf_dir)
+    counts = (
+        toks.join(F.broadcast(vocab), "term")
+        .groupBy("doc_id", "index", "df")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    )
+    idf = F.log((F.lit(1.0) + F.lit(float(n_docs))) / (F.lit(1.0) + F.col("df"))) + 1.0
+    weighted = counts.withColumn("w", F.col("tf") * idf)
+    wnorm = Window.partitionBy("doc_id")
+    norm = F.sqrt(F.sum(F.col("w") * F.col("w")).over(wnorm))
+    return weighted.select(
+        "doc_id", "index", F.round(F.col("w") / norm, 4).alias("value")
+    )
+
+
+SQL_BOW_TFIDF = f"""
+{VOCAB50_CTE.strip()},
+counts AS (
+  SELECT t.doc_id, v.index, v.df, CAST(COUNT(*) AS DOUBLE) AS tf
+  FROM tokens t JOIN vocab v USING (term)
+  GROUP BY t.doc_id, v.index, v.df
+),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+weighted AS (
+  SELECT doc_id, index, tf * (LN((1.0 + (SELECT n_docs FROM n)) / (1.0 + df)) + 1.0) AS w
+  FROM counts
+)
+SELECT doc_id, index, ROUND(w / SQRT(SUM(w * w) OVER (PARTITION BY doc_id)), 4) AS value
+FROM weighted
+"""
+
+
 # ---------------------------------------------------------------------------
 # rows-only queries (Arrow-UDF semantics not expressible in ANSI SQL;
 # allclose-verified against the golden pipeline in tests/)
@@ -637,6 +730,77 @@ def q_rant_stats_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "turn_idx",
         *[F.round(F.col(f"`{c}`"), 6).alias(c) for c in textfeats.feature_fields()],
     )
+
+
+def q_vectorize_type_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 with the reference's token-type tokenizer + trigrams (custom Arrow
+    tokenizer → rows-only; parity vs golden pinned in tests/test_vectorize.py)."""
+    from ..operators import vectorize
+
+    t = transcripts_df(spark, sf_dir)
+    vocab = vectorize.fit_vocabulary(
+        t, tokenizer="token_type", ngram_range=(1, 3), min_df=25, max_features=500
+    )
+    return vectorize.transform_counts(
+        t, vocab, tokenizer="token_type", ngram_range=(1, 3)
+    )
+
+
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs with exact Jaccard verify (rows-only:
+    LSH banding isn't ANSI-SQL; recall/precision pinned in pytest).  Runs on
+    a near-dup-injected copy of documents so candidates exist."""
+    from ..operators import dedup
+
+    docs = _read(spark, sf_dir, "documents")
+    dups = docs.filter(F.col("doc_id") % 37 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" x")).alias("text"),
+        "lang",
+        "source",
+        "n_chars",
+    )
+    return dedup.minhash_lsh_pairs(
+        docs.unionByName(dups), "doc_id", "text", n=3, num_perm=64, bands=16, threshold=0.8
+    )
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (rows-only) on the same dup-injected corpus."""
+    from ..operators import dedup
+
+    docs = _read(spark, sf_dir, "documents")
+    dups = docs.filter(F.col("doc_id") % 37 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" x")).alias("text"),
+        "lang",
+        "source",
+        "n_chars",
+    )
+    return dedup.simhash_pairs(docs.unionByName(dups), "doc_id", "text", max_hamming=3)
+
+
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH ANN top-5 (rows-only; recall vs brute force pinned in
+    pytest — q_knn_cosine above is the exact baseline with a SQL oracle)."""
+    from ..operators import similarity
+
+    emb = _read(spark, sf_dir, "embeddings")
+    return similarity.lsh_topk(emb, emb.filter(F.col("vec_id") < 3), k=5)
+
+
+def q_vectorize_pos_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: TF-IDF over POS bigrams (tokenize_pos analogue) — rows-only."""
+    from ..operators import vectorize
+
+    t = transcripts_df(spark, sf_dir)
+    vocab = vectorize.fit_vocabulary(
+        t, tokenizer="pos", ngram_range=(1, 2), min_df=25, max_features=4000
+    )
+    out = vectorize.transform_counts(
+        t, vocab, tokenizer="pos", ngram_range=(1, 2), tfidf=True
+    )
+    return out.select("conv_id", "turn_idx", "index", F.round("value", 6).alias("value"))
 
 
 # ---------------------------------------------------------------------------
@@ -663,7 +827,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kfold": q_kfold,
     "stratified_split": q_stratified_split,
     "knn_cosine": q_knn_cosine,
+    "bow_counts": q_bow_counts,
+    "bow_tfidf": q_bow_tfidf,
     "rant_stats_features": q_rant_stats_features,
+    "vectorize_type_ngrams": q_vectorize_type_ngrams,
+    "vectorize_pos_tfidf": q_vectorize_pos_tfidf,
+    "dedup_minhash": q_dedup_minhash,
+    "dedup_simhash": q_dedup_simhash,
+    "ann_lsh": q_ann_lsh,
 }
 
 ORACLES: dict[str, str] = {
@@ -686,5 +857,8 @@ ORACLES: dict[str, str] = {
     "kfold": SQL_KFOLD,
     "stratified_split": SQL_STRATIFIED_SPLIT,
     "knn_cosine": SQL_KNN_COSINE,
-    # rant_stats_features: rows-only (Arrow UDF; allclose-tested vs golden)
+    "bow_counts": SQL_BOW_COUNTS,
+    "bow_tfidf": SQL_BOW_TFIDF,
+    # rows-only (Arrow-UDF tokenizers; allclose-tested vs golden in pytest):
+    # rant_stats_features, vectorize_type_ngrams, vectorize_pos_tfidf
 }

@@ -40,7 +40,7 @@ def feature_pipeline(
         win_op.with_rolling_count(win_op.with_backfill(feats)), gap_s=gap_s
     )
     profile = dq.profile_df(spark, sf_dir)
-    return asof_op.asof_join(
+    return asof_op.asof_join_union_window(
         windowed, profile, on="ts", by="conv_id", right_ts_alias="profile_ts"
     )
 
@@ -58,6 +58,6 @@ def feature_pipeline_from_df(
     )
     if profile is None:
         return windowed
-    return asof_op.asof_join(
+    return asof_op.asof_join_union_window(
         windowed, profile, on="ts", by="conv_id", right_ts_alias="profile_ts"
     )

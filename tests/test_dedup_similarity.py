@@ -1,0 +1,155 @@
+"""Dedup + similarity operators: exactness, LSH recall, determinism."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from py_evalfilter_spark.operators import dedup, similarity
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(12),
+            "text": [
+                "the quick brown fox jumps over the lazy dog",
+                "the quick brown fox jumps over the lazy dog!",  # near-dup of 0
+                "a completely different document about spark sql",
+                "the quick brown fox jumps over the lazy cat",  # near-dup of 0/1
+                "hello world",
+                "hello world",  # exact dup of 4
+                "partition pruning and predicate pushdown in parquet",
+                "partition pruning and predicate pushdown in parquet scans",  # near 6
+                "tiny",
+                "completely unrelated text about cooking pasta recipes",
+                "spark sql is a completely different engine document",
+                "",
+            ],
+            "source": ["s"] * 12,
+        }
+    )
+    return spark.createDataFrame(pdf)
+
+
+def _brute_jaccard_pairs(pdf, n=3, threshold=0.6):
+    def sh(t):
+        return {t[i : i + n] for i in range(max(len(t) - n + 1, 1))} if t else set()
+
+    out = set()
+    for i in range(len(pdf)):
+        for j in range(i + 1, len(pdf)):
+            a, b = sh(pdf.text[i]), sh(pdf.text[j])
+            if not a and not b:
+                continue
+            jac = len(a & b) / len(a | b)
+            if jac >= threshold:
+                out.add((pdf.doc_id[i], pdf.doc_id[j]))
+    return out
+
+
+class TestDedup:
+    def test_exact(self, spark, docs):
+        out = dedup.exact_dedup(docs, ["text"], "doc_id").toPandas()
+        assert len(out) == 11  # 12 docs, one exact dup
+        dup_row = out[out.n_copies > 1]
+        assert len(dup_row) == 1 and dup_row.keep_id.iloc[0] == 4
+
+    def test_fuzzy_window(self, spark, docs):
+        out = dedup.fuzzy_window_pairs(
+            docs, "doc_id", "text", order_col="doc_id", partition_col="source",
+            lookahead=3, threshold=90.0,
+        ).toPandas()
+        pairs = set(zip(out.doc_id, out.dup_id))
+        assert (0, 1) in pairs  # one-char edit within lookahead
+        assert (4, 5) in pairs  # exact dup
+        assert all(d - s <= 3 for s, d in pairs)
+
+    def test_ngram_jaccard_exact_vs_brute(self, spark, docs):
+        pdf = docs.toPandas()
+        want = _brute_jaccard_pairs(pdf, n=3, threshold=0.6)
+        got = dedup.ngram_jaccard_pairs(
+            docs, "doc_id", "text", n=3, threshold=0.6, max_shingle_df=None
+        ).toPandas()
+        assert set(zip(got.doc_id, got.dup_id)) == want
+
+    def test_minhash_lsh_recall_and_precision(self, spark, docs):
+        pdf = docs.toPandas()
+        want = _brute_jaccard_pairs(pdf, n=3, threshold=0.7)
+        got = dedup.minhash_lsh_pairs(
+            docs, "doc_id", "text", n=3, num_perm=64, bands=16, threshold=0.7
+        ).toPandas()
+        got_pairs = set(zip(got.doc_id, got.dup_id))
+        # precision 1.0 by construction (exact verify); recall high at j>=0.7
+        assert got_pairs <= set(_brute_jaccard_pairs(pdf, n=3, threshold=0.7))
+        assert len(got_pairs) >= len(want) - 1  # allow one LSH miss at the margin
+
+    def test_minhash_deterministic(self, spark, docs):
+        a = dedup.minhash_signatures(docs, "doc_id", "text").toPandas()
+        b = dedup.minhash_signatures(docs, "doc_id", "text").toPandas()
+        a = a.sort_values("doc_id").reset_index(drop=True)
+        b = b.sort_values("doc_id").reset_index(drop=True)
+        assert all(list(x) == list(y) for x, y in zip(a.signature, b.signature))
+
+    def test_simhash_pairs(self, spark, docs):
+        out = dedup.simhash_pairs(docs, "doc_id", "text", max_hamming=6).toPandas()
+        pairs = set(zip(out.doc_id, out.dup_id))
+        assert (4, 5) in pairs  # exact dup → hamming 0
+        ham = dict(zip(zip(out.doc_id, out.dup_id), out.hamming))
+        assert ham[(4, 5)] == 0
+        # near-dup (one word changed) should be within 6 bits
+        assert (0, 1) in pairs or (0, 3) in pairs
+
+
+class TestSimilarity:
+    @pytest.fixture(scope="class")
+    def emb(self, spark):
+        return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+    def test_brute_topk_matches_numpy(self, spark, emb):
+        queries = emb.filter(F.col("vec_id") < 3)
+        got = similarity.brute_force_topk(emb, queries, k=5).toPandas()
+        pdf = emb.toPandas()
+        M = np.stack([np.asarray(v, dtype="float64") for v in pdf.embedding])
+        ids = pdf.vec_id.to_numpy()
+        Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+        for qid in range(3):
+            qrow = np.flatnonzero(ids == qid)[0]
+            sims = Mn @ Mn[qrow]
+            order = sorted(
+                [(round(s, 4), i) for s, i in zip(sims, ids) if i != qid],
+                key=lambda t: (-t[0], t[1]),
+            )[:5]
+            want = [i for _, i in order]
+            have = got[got.qid == qid].sort_values("rank").nid.tolist()
+            assert have == want, f"qid={qid}"
+
+    def test_lsh_recall(self, spark, emb):
+        queries = emb.filter(F.col("vec_id") < 10)
+        brute = similarity.brute_force_topk(emb, queries, k=5).toPandas()
+        ann = similarity.lsh_topk(emb, queries, k=5).toPandas()
+        recall_hits = 0
+        total = 0
+        for qid in range(10):
+            want = set(brute[brute.qid == qid].nid)
+            have = set(ann[ann.qid == qid].nid)
+            recall_hits += len(want & have)
+            total += len(want)
+        recall = recall_hits / total
+        assert recall >= 0.5, f"ANN recall too low: {recall}"
+
+    def test_embedding_neardup_self_consistency(self, spark, emb):
+        # duplicate a few vectors with new ids; near-dup must find them
+        dup = emb.filter(F.col("vec_id") < 3).withColumn(
+            "vec_id", F.col("vec_id") + 100000
+        )
+        both = emb.unionByName(dup)
+        out = dedup.embedding_neardup_pairs(
+            both, "vec_id", "embedding", threshold=0.999, n_planes=12
+        ).toPandas()
+        pairs = set(zip(out.doc_id, out.dup_id))
+        for i in range(3):
+            assert (i, i + 100000) in pairs

@@ -148,3 +148,48 @@ class TestAsofSpark:
         )
         assert out["v"].iloc[0] == 1.5  # 100s stale: within tolerance
         assert pd.isna(out["v"].iloc[1])  # 4100s stale: dropped
+
+
+class TestAsofUnionWindow:
+    """The JVM union-window as-of must be semantically identical to the
+    cogroup/merge_asof variant and to golden."""
+
+    def test_equals_cogroup_variant(self, transcripts_sdf, profiles_sdf):
+        a = (
+            asof.asof_join(transcripts_sdf, profiles_sdf, right_ts_alias="profile_ts")
+            .toPandas().sort_values(KEY, kind="mergesort").reset_index(drop=True)
+        )
+        b = (
+            asof.asof_join_union_window(transcripts_sdf, profiles_sdf, right_ts_alias="profile_ts")
+            .toPandas().sort_values(KEY, kind="mergesort").reset_index(drop=True)
+        )
+        b = b[a.columns]
+        for col in a.columns:
+            av, bv = a[col], b[col]
+            assert ((av == bv) | (av.isna() & bv.isna())).all(), col
+
+    def test_zero_leakage(self, transcripts_sdf, profiles_sdf):
+        out = asof.asof_join_union_window(
+            transcripts_sdf, profiles_sdf, right_ts_alias="profile_ts"
+        )
+        assert out.filter("profile_ts > ts").count() == 0
+
+    def test_tolerance(self, spark):
+        import pandas as pd
+
+        t = pd.DataFrame(
+            {
+                "conv_id": ["c", "c"],
+                "turn_idx": pd.array([0, 1], dtype="int32"),
+                "ts": pd.to_datetime([1000, 5000], unit="s"),
+            }
+        )
+        p = pd.DataFrame({"conv_id": ["c"], "ts": pd.to_datetime([900], unit="s"), "v": [1.5]})
+        out = (
+            asof.asof_join_union_window(
+                spark.createDataFrame(t), spark.createDataFrame(p), tolerance_s=500
+            )
+            .toPandas().sort_values("turn_idx")
+        )
+        assert out["v"].iloc[0] == 1.5
+        assert pd.isna(out["v"].iloc[1])
