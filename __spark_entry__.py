@@ -29,12 +29,9 @@ def entry(spark: SparkSession) -> DataFrame:
     events → transcripts → 19-feature Arrow map → backfill + sessionize →
     as-of merge of the purchase side-table → wide per-turn feature rows.
     """
-    sf_dir = "/root/testdata/sf0.001"
-    t = dq.transcripts_df(spark, sf_dir)
-    feats = textfeats.with_rant_stats(t)
-    windowed = win_op.with_session(win_op.with_backfill(feats))
-    p = dq.profile_df(spark, sf_dir)
-    return asof_op.asof_join_union_window(windowed, p, on="ts", by="conv_id", right_ts_alias="profile_ts")
+    from py_evalfilter_spark.plans.pipeline import feature_pipeline
+
+    return feature_pipeline(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -1,1 +1,1 @@
-from . import textfeats  # noqa: F401
+from . import multimodal, textanalysis, textfeats  # noqa: F401

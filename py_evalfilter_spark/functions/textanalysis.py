@@ -1,0 +1,137 @@
+"""Text-analysis functions for training-data pipelines: language ID,
+quality scoring, token counting, document fingerprinting.
+
+Pure column expressions where possible (JVM, codegen); Arrow UDFs only for
+the n-gram language model and rolling hash.  All deterministic/seedless.
+"""
+
+from __future__ import annotations
+
+import zlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# ---------------------------------------------------------------------------
+# language ID — character/stopword n-gram heuristic over the 5 driver langs
+# ---------------------------------------------------------------------------
+
+# tiny per-language marker sets: common function words + distinctive chars.
+# A real system would load trained n-gram profiles; the heuristic keeps the
+# operator self-contained and deterministic.
+_LANG_MARKERS: dict[str, tuple[set[str], set[str]]] = {
+    # lang -> (word markers, char markers)
+    "en": ({"the", "and", "of", "to", "is", "in", "that", "with", "for", "it"}, set()),
+    "de": ({"der", "die", "das", "und", "ist", "nicht", "ein", "mit", "für", "von"}, set("äöüß")),
+    "fr": ({"le", "la", "les", "et", "est", "un", "une", "des", "dans", "pour"}, set("éèêàçù")),
+    "es": ({"el", "la", "los", "las", "es", "un", "una", "que", "por", "para"}, set("ñ¿¡áíóú")),
+    "zh": (set(), set()),  # detected by CJK char ratio below
+}
+
+
+def _detect_lang(text: str) -> str:
+    if not isinstance(text, str) or not text.strip():
+        return "und"
+    n = len(text)
+    cjk = sum(1 for c in text if "一" <= c <= "鿿")
+    if cjk / max(n, 1) > 0.2:
+        return "zh"
+    toks = text.lower().split()
+    scores: dict[str, float] = {}
+    for lang, (words, chars) in _LANG_MARKERS.items():
+        if lang == "zh":
+            continue
+        word_hits = sum(1 for t in toks if t in words)
+        char_hits = sum(1 for c in text if c in chars)
+        scores[lang] = word_hits + 3.0 * char_hits
+    best = max(sorted(scores), key=lambda k: scores[k])
+    return best if scores[best] > 0 else "und"
+
+
+@F.pandas_udf(T.StringType())
+def langid_udf(s: pd.Series) -> pd.Series:
+    return s.map(_detect_lang)
+
+
+def with_langid(df: DataFrame, text_col: str = "text", out: str = "lang_pred") -> DataFrame:
+    return df.withColumn(out, langid_udf(F.col(text_col)))
+
+
+# ---------------------------------------------------------------------------
+# quality scoring — pure column expressions (JVM)
+# ---------------------------------------------------------------------------
+
+
+def with_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """length / token-count / avg token length / punct + whitespace ratios +
+    a composite [0,1] quality score (deterministic, documented weights)."""
+    t = F.col(text_col)
+    toks = F.filter(F.split(F.lower(t), "[^\\p{L}\\p{N}]+"), lambda x: x != "")
+    n_tok = F.size(toks)
+    avg_tok = F.when(
+        n_tok > 0,
+        F.aggregate(toks, F.lit(0), lambda acc, x: acc + F.length(x)).cast("double")
+        / n_tok,
+    ).otherwise(0.0)
+    punct_ratio = F.length(F.regexp_replace(t, "[\\p{L}\\p{N}\\s]", "")) / F.greatest(
+        F.length(t), F.lit(1)
+    )
+    ws_ratio = F.length(F.regexp_replace(t, "\\S", "")) / F.greatest(F.length(t), F.lit(1))
+    score = (
+        F.least(n_tok / F.lit(20.0), F.lit(1.0)) * 0.4
+        + F.when((avg_tok >= 2) & (avg_tok <= 12), 0.3).otherwise(0.0)
+        + F.when(punct_ratio < 0.2, 0.2).otherwise(0.0)
+        + F.when(ws_ratio < 0.4, 0.1).otherwise(0.0)
+    )
+    return (
+        df.withColumn("n_tokens", n_tok)
+        .withColumn("avg_token_len", F.round(avg_tok, 4))
+        .withColumn("punct_ratio", F.round(punct_ratio, 4))
+        .withColumn("ws_ratio", F.round(ws_ratio, 4))
+        .withColumn("quality_score", F.round(score, 4))
+    )
+
+
+def with_token_count(df: DataFrame, text_col: str = "text", out: str = "n_tokens") -> DataFrame:
+    """Whitespace + BPE-ish token counting: word tokens plus split-off
+    punctuation runs (a cheap proxy for subword token counts)."""
+    words = F.size(F.filter(F.split(F.col(text_col), "\\s+"), lambda x: x != ""))
+    punct_runs = F.size(
+        F.filter(
+            F.split(F.col(text_col), "[\\p{L}\\p{N}\\s]+"), lambda x: x != ""
+        )
+    )
+    return df.withColumn(out, (words + punct_runs).cast("long"))
+
+
+# ---------------------------------------------------------------------------
+# document fingerprinting — winnowed rolling hash (deterministic)
+# ---------------------------------------------------------------------------
+
+
+def _fingerprint(text: str, k: int = 7, window: int = 4) -> int:
+    """Winnowing-style fingerprint: crc32 over each k-gram, keep the min per
+    sliding window, combine with xor-rotate → one stable 32-bit id."""
+    if not isinstance(text, str) or len(text) < k:
+        return zlib.crc32((text or "").encode("utf-8"))
+    hashes = [zlib.crc32(text[i : i + k].encode("utf-8")) for i in range(len(text) - k + 1)]
+    mins = []
+    for i in range(max(len(hashes) - window + 1, 1)):
+        mins.append(min(hashes[i : i + window]))
+    fp = 0
+    for m in mins:
+        fp = ((fp << 5) | (fp >> 27)) & 0xFFFFFFFF
+        fp ^= m
+    return fp
+
+
+@F.pandas_udf(T.LongType())
+def fingerprint_udf(s: pd.Series) -> pd.Series:
+    return s.map(lambda t: _fingerprint(t)).astype("int64")
+
+
+def with_fingerprint(df: DataFrame, text_col: str = "text", out: str = "fingerprint") -> DataFrame:
+    return df.withColumn(out, fingerprint_udf(F.col(text_col)))

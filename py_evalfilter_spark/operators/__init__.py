@@ -1,1 +1,1 @@
-from . import asof, dedup, similarity, vectorize, windows  # noqa: F401
+from . import asof, dedup, similarity, splits, vectorize, windows  # noqa: F401

@@ -35,14 +35,8 @@ def feature_pipeline(
     t = dq.transcripts_df(spark, sf_dir)
     if min_map_partitions:
         t = t.repartition(min_map_partitions)
-    feats = textfeats.with_rant_stats(t)
-    windowed = win_op.with_session(
-        win_op.with_rolling_count(win_op.with_backfill(feats)), gap_s=gap_s
-    )
     profile = dq.profile_df(spark, sf_dir)
-    return asof_op.asof_join_union_window(
-        windowed, profile, on="ts", by="conv_id", right_ts_alias="profile_ts"
-    )
+    return feature_pipeline_from_df(t, profile, gap_s=gap_s)
 
 
 def feature_pipeline_from_df(
@@ -51,13 +45,20 @@ def feature_pipeline_from_df(
     gap_s: int = 1800,
 ) -> DataFrame:
     """Same plan over caller-provided transcript / profile DataFrames
-    (e.g. the datagen fixtures or a real Iceberg table)."""
-    feats = textfeats.with_rant_stats(transcripts)
+    (e.g. the datagen fixtures or a real Iceberg table).
+
+    Stage order matters at scale: windows + as-of run FIRST on the narrow
+    transcript columns, and the 19-column Arrow feature map runs LAST —
+    after every shuffle — so feature columns are computed once per final
+    row and never serialized through an Exchange (at 10^12 turns the
+    windows/as-of shuffles move ~6 columns instead of ~25).  Features
+    depend only on ``text``, so the reordering is semantics-preserving.
+    """
     windowed = win_op.with_session(
-        win_op.with_rolling_count(win_op.with_backfill(feats)), gap_s=gap_s
+        win_op.with_rolling_count(win_op.with_backfill(transcripts)), gap_s=gap_s
     )
-    if profile is None:
-        return windowed
-    return asof_op.asof_join_union_window(
-        windowed, profile, on="ts", by="conv_id", right_ts_alias="profile_ts"
-    )
+    if profile is not None:
+        windowed = asof_op.asof_join_union_window(
+            windowed, profile, on="ts", by="conv_id", right_ts_alias="profile_ts"
+        )
+    return textfeats.with_rant_stats(windowed)

@@ -1,0 +1,72 @@
+"""Structured-Streaming ingestion path (SURVEY.md §2.9).
+
+The reference is strictly batch and the engine's point-in-time semantics
+are enforced by the as-of predicate, not streaming state — but a feature
+store at 10^12-turn scale ingests continuously, so this module provides the
+streaming front-door: gap sessionization with ``session_window`` +
+watermarking for late turns, and a per-turn streaming feature map.
+
+Parity: the batch engine (operators/windows.with_session) assigns per-turn
+session SEQUENCE ids; streaming emits one aggregate row per closed session.
+``session_agg_matches_batch`` in tests pins that both define the same
+session boundaries (same session count and per-session turn counts per
+conversation) on identical data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.textfeats import FEATURE_SCHEMA, with_rant_stats
+
+
+def streaming_session_agg(
+    stream: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """turns stream → one row per (conv_id, session_window) with turn count
+    and span; watermark bounds state for late/out-of-order turns."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.col("conv_id"), F.session_window("ts", gap))
+        .agg(
+            F.count(F.lit(1)).alias("n_turns"),
+            F.min("turn_idx").alias("first_turn"),
+            F.max("turn_idx").alias("last_turn"),
+        )
+        .select(
+            "conv_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_turns",
+            "first_turn",
+            "last_turn",
+        )
+    )
+
+
+def streaming_features(stream: DataFrame) -> DataFrame:
+    """Per-turn feature map on a stream — the same Arrow mapInPandas stage
+    the batch pipeline uses (stateless, so it is streaming-safe as-is)."""
+    return with_rant_stats(stream)
+
+
+def run_stream_once(stream_df: DataFrame, transform, query_name: str, output_mode: str = "append"):
+    """Drive a streaming transform over a bounded source to completion via
+    the memory sink (local smoke-test harness; real deployments use
+    kafka/files + checkpointLocation).  For bounded parity tests of session
+    aggregates use output_mode='complete' — in append mode the final
+    (never-closed) session per key is withheld until the watermark passes,
+    which never happens on a bounded source."""
+    out = transform(stream_df)
+    q = (
+        out.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

@@ -1,0 +1,83 @@
+"""Split operators + streaming sessionization parity with the batch engine."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from py_evalfilter_spark.operators import splits, windows
+
+
+class TestSplits:
+    def test_kfold_deterministic_and_balanced(self, spark):
+        df = spark.range(10_000)
+        a = splits.kfold_assign(df, "id", 5).groupBy("fold").count().collect()
+        b = splits.kfold_assign(df, "id", 5).groupBy("fold").count().collect()
+        assert sorted((r["fold"], r["count"]) for r in a) == sorted(
+            (r["fold"], r["count"]) for r in b
+        )
+        counts = [r["count"] for r in a]
+        assert len(counts) == 5
+        assert max(counts) - min(counts) < 10_000 * 0.05  # roughly balanced
+
+    def test_stratified_assign_exact(self, spark):
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        out = splits.stratified_assign(emb, "label", 3, order_col="vec_id")
+        per = out.groupBy("label", "fold").count().toPandas()
+        for label, grp in per.groupby("label"):
+            counts = grp["count"].tolist()
+            assert max(counts) - min(counts) <= 1  # exact stratification
+
+    def test_train_test_split_stable_membership(self, spark):
+        df = spark.range(1000)
+        small = splits.train_test_split(df, "id", test_frac=0.2)
+        grown = splits.train_test_split(spark.range(2000), "id", test_frac=0.2)
+        a = {r["id"]: r["is_test"] for r in small.collect()}
+        b = {r["id"]: r["is_test"] for r in grown.collect()}
+        assert all(b[i] == a[i] for i in a)  # growing the corpus never flips a row
+        frac = sum(a.values()) / len(a)
+        assert 0.15 < frac < 0.25
+
+
+class TestStreamingSessions:
+    def test_session_agg_matches_batch(self, spark, transcripts_pdf, tmp_path):
+        from py_evalfilter_spark.streaming import sessions
+
+        src = str(tmp_path / "turns")
+        sdf = spark.createDataFrame(transcripts_pdf)
+        sdf.write.parquet(src)
+
+        stream = spark.readStream.schema(sdf.schema).parquet(src)
+        sessions.run_stream_once(
+            stream,
+            lambda s: sessions.streaming_session_agg(s, gap="30 minutes", watermark="1 hour"),
+            "stream_sessions",
+            output_mode="complete",
+        )
+        got = spark.sql("SELECT * FROM stream_sessions").toPandas()
+
+        batch = windows.with_session(sdf, gap_s=1800).toPandas()
+        want = (
+            batch.groupby(["conv_id", "session_id"])
+            .size()
+            .reset_index(name="n_turns")
+        )
+        # same number of sessions per conversation
+        g = got.groupby("conv_id").size().sort_index()
+        w = want.groupby("conv_id").size().sort_index()
+        pd.testing.assert_series_equal(g, w, check_names=False)
+        # same multiset of session sizes per conversation
+        gs = got.groupby("conv_id")["n_turns"].apply(lambda s: sorted(s)).sort_index()
+        ws = want.groupby("conv_id")["n_turns"].apply(lambda s: sorted(s)).sort_index()
+        assert (gs == ws).all()
+
+    def test_streaming_features_run(self, spark, transcripts_pdf, tmp_path):
+        from py_evalfilter_spark.streaming import sessions
+
+        src = str(tmp_path / "turns2")
+        sdf = spark.createDataFrame(transcripts_pdf.head(50))
+        sdf.write.parquet(src)
+        stream = spark.readStream.schema(sdf.schema).parquet(src)
+        sessions.run_stream_once(stream, sessions.streaming_features, "stream_feats")
+        out = spark.sql("SELECT * FROM stream_feats").toPandas()
+        assert len(out) == 50
+        assert "avgTokenLength" in out.columns
