@@ -51,7 +51,11 @@ def main() -> None:
 
     t0 = time.perf_counter()
     out = feature_pipeline(spark, SF_DIR)
-    n_turns = out.count()
+    # aggregate a feature column: a bare count() lets Catalyst prune the
+    # (scalar, side-effect-free) feature UDF entirely — which is correct
+    # engine behavior, but would benchmark nothing
+    row = out.selectExpr("count(*) AS n", "sum(tokens) AS s").collect()[0]
+    n_turns = row["n"]
     pipeline_sec = time.perf_counter() - t0
     timings["pipeline"] = round(pipeline_sec, 3)
 

@@ -72,7 +72,7 @@ def best_of(fn, reps):
         best = dt if best is None or dt < best else best
     return round(best, 3)
 
-pipeline = best_of(lambda: feature_pipeline_from_df(t, p).count(), {repeats})
+pipeline = best_of(lambda: feature_pipeline_from_df(t, p).selectExpr("count(*)", "sum(tokens)").collect(), {repeats})
 map_df = spark.range(0, n_rows, 1, 256).select(
     F.concat(F.lit('スパーク処理 {{"k": '), (F.col("id") % 1000).cast("string"), F.lit('}} です！')).alias("text"))
 map_stage = best_of(lambda: textfeats.with_rant_stats(map_df).selectExpr("sum(tokens)").collect(), {repeats})
@@ -145,6 +145,7 @@ def main() -> None:
         "shuffle_efficiency": eff("shuffle"),
         "hardware_ceiling_efficiency": ceiling,
         "map_stage_normalized": round(eff("map_stage") / ceiling, 3) if ceiling else None,
+        "pipeline_normalized": round(eff("pipeline") / ceiling, 3) if ceiling else None,
     }
     print(json.dumps(result))
 

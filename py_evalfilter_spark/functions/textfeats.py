@@ -43,16 +43,23 @@ def _stats_frame(texts: pd.Series) -> pd.DataFrame:
     return out
 
 
+@F.pandas_udf(FEATURE_SCHEMA)
+def rant_stats_udf(s: pd.Series) -> pd.DataFrame:
+    """text → struct of the 19 features (scalar Arrow UDF).
+
+    A scalar struct UDF serializes ONLY the text column to Python and 19
+    doubles back — every other column of the surrounding row stays JVM-side.
+    The mapInPandas alternative round-trips the entire row through Arrow,
+    which measured ~1.5-3x slower on wide pipelines.
+    """
+    return _stats_frame(s)
+
+
 def with_rant_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Append the 19 feature columns to ``df`` (one Arrow pass)."""
-    out_schema = T.StructType(list(df.schema.fields) + list(FEATURE_SCHEMA.fields))
-
-    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            feats = _stats_frame(pdf[text_col])
-            yield pd.concat([pdf.reset_index(drop=True), feats.reset_index(drop=True)], axis=1)
-
-    return df.mapInPandas(compute, schema=out_schema)
+    """Append the 19 feature columns to ``df`` (one Arrow pass over text only)."""
+    tmp = "__rant_stats"
+    out = df.withColumn(tmp, rant_stats_udf(F.col(text_col)))
+    return out.select("*", f"{tmp}.*").drop(tmp)
 
 
 @F.pandas_udf(T.StringType())

@@ -397,6 +397,107 @@ FROM sess GROUP BY session_id
 """
 
 
+def q_rolling_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3 time-based rolling window: count + avg over the trailing hour
+    (RANGE frame on epoch seconds, not row counts)."""
+    t = transcripts_df(spark, sf_dir)
+    ep = F.col("ts").cast("timestamp").cast("long")
+    w = (
+        Window.partitionBy("conv_id")
+        .orderBy(ep)
+        .rangeBetween(-3600, 0)
+    )
+    return t.select(
+        "conv_id",
+        "turn_idx",
+        F.count(F.lit(1)).over(w).alias("turns_last_hour"),
+        F.round(F.avg(F.length("text")).over(w), 4).alias("avg_len_last_hour"),
+    )
+
+
+SQL_ROLLING_TIME = f"""
+WITH {TRANSCRIPTS_CTE.strip()}
+SELECT conv_id, turn_idx,
+       COUNT(*) OVER w AS turns_last_hour,
+       ROUND(AVG(LENGTH(text)) OVER w, 4) AS avg_len_last_hour
+FROM transcripts
+WINDOW w AS (PARTITION BY conv_id ORDER BY FLOOR(epoch(ts))
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+"""
+
+
+def q_rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical rollup totals (engine breadth beyond the reference)."""
+    li = _read(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"), F.count(F.lit(1)).alias("n"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("l_returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("l_linestatus"),
+            "sum_qty",
+            "n",
+        )
+    )
+
+
+SQL_ROLLUP_AGG = """
+SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+       COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+       ROUND(SUM(l_quantity), 2) AS sum_qty,
+       COUNT(*) AS n
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 parts by revenue per supplier (window rank pattern)."""
+    li = _read(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_suppkey", "l_partkey").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        )
+    )
+    w = Window.partitionBy("l_suppkey").orderBy(F.col("revenue").desc(), "l_partkey")
+    return rev.withColumn("rank", F.row_number().over(w).cast("int")).filter(
+        F.col("rank") <= 3
+    )
+
+
+SQL_TOPK_PER_GROUP = """
+WITH rev AS (
+  SELECT l_suppkey, l_partkey,
+         ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+  FROM lineitem GROUP BY l_suppkey, l_partkey
+)
+SELECT l_suppkey, l_partkey, revenue,
+       CAST(ROW_NUMBER() OVER (PARTITION BY l_suppkey ORDER BY revenue DESC, l_partkey) AS INTEGER) AS rank
+FROM rev QUALIFY rank <= 3
+"""
+
+
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (sort-based)."""
+    ev = _read(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("value", F.lit(0.9)), 4).alias("p90"),
+        F.round(F.min("value"), 2).alias("vmin"),
+        F.round(F.max("value"), 2).alias("vmax"),
+    )
+
+
+SQL_PERCENTILES = """
+SELECT event_type,
+       ROUND(quantile_cont(value, 0.5), 4) AS p50,
+       ROUND(quantile_cont(value, 0.9), 4) AS p90,
+       ROUND(MIN(value), 2) AS vmin,
+       ROUND(MAX(value), 2) AS vmax
+FROM events GROUP BY event_type
+"""
+
+
 def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J3: point-in-time purchase value at each turn; DuckDB ASOF JOIN oracle."""
     t = transcripts_df(spark, sf_dir)
@@ -789,6 +890,55 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_topk(emb, emb.filter(F.col("vec_id") < 3), k=5)
 
 
+def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic over documents (rows-only; accuracy pinned on
+    multilingual fixtures in pytest — the driver's lang column is synthetic)."""
+    from ..functions import textanalysis
+
+    docs = _read(spark, sf_dir, "documents")
+    return textanalysis.with_langid(docs).select("doc_id", "lang_pred")
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowed rolling-hash document fingerprints (rows-only, deterministic)."""
+    from ..functions import textanalysis
+
+    docs = _read(spark, sf_dir, "documents")
+    return textanalysis.with_fingerprint(docs).select("doc_id", "fingerprint")
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact char-3-gram Jaccard near-dup pairs on the dup-injected corpus
+    (rows-only; exactness vs a brute-force all-pairs oracle in pytest)."""
+    from ..operators import dedup
+
+    docs = _read(spark, sf_dir, "documents")
+    dups = docs.filter(F.col("doc_id") % 37 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" x")).alias("text"),
+        "lang",
+        "source",
+        "n_chars",
+    )
+    return dedup.ngram_jaccard_pairs(
+        docs.unionByName(dups), "doc_id", "text", n=3, threshold=0.8, max_shingle_df=400
+    )
+
+
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs via hyperplane blocking (rows-only;
+    self-consistency pinned in pytest).  Duplicated vectors injected."""
+    from ..operators import dedup
+
+    emb = _read(spark, sf_dir, "embeddings")
+    dups = emb.filter(F.col("vec_id") % 53 == 0).withColumn(
+        "vec_id", F.col("vec_id") + 1_000_000
+    )
+    return dedup.embedding_neardup_pairs(
+        emb.unionByName(dups), "vec_id", "embedding", threshold=0.999, n_planes=12
+    )
+
+
 def q_vectorize_pos_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2: TF-IDF over POS bigrams (tokenize_pos analogue) — rows-only."""
     from ..operators import vectorize
@@ -819,6 +969,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rolling": q_rolling,
     "sessionize": q_sessionize,
     "session_agg": q_session_agg,
+    "rolling_time": q_rolling_time,
+    "rollup_agg": q_rollup_agg,
+    "topk_per_group": q_topk_per_group,
+    "percentiles": q_percentiles,
     "asof_join": q_asof_join,
     "dedup_exact": q_dedup_exact,
     "dedup_fuzzy_window": q_dedup_fuzzy_window,
@@ -834,7 +988,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "vectorize_pos_tfidf": q_vectorize_pos_tfidf,
     "dedup_minhash": q_dedup_minhash,
     "dedup_simhash": q_dedup_simhash,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "embedding_neardup": q_embedding_neardup,
     "ann_lsh": q_ann_lsh,
+    "langid": q_langid,
+    "fingerprint": q_fingerprint,
 }
 
 ORACLES: dict[str, str] = {
@@ -849,6 +1007,10 @@ ORACLES: dict[str, str] = {
     "rolling": SQL_ROLLING,
     "sessionize": SQL_SESSIONIZE,
     "session_agg": SQL_SESSION_AGG,
+    "rolling_time": SQL_ROLLING_TIME,
+    "rollup_agg": SQL_ROLLUP_AGG,
+    "topk_per_group": SQL_TOPK_PER_GROUP,
+    "percentiles": SQL_PERCENTILES,
     "asof_join": SQL_ASOF_JOIN,
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_fuzzy_window": SQL_DEDUP_FUZZY_WINDOW,
