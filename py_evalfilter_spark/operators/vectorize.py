@@ -41,6 +41,23 @@ def _terms(df: DataFrame, text_col: str, id_cols: list[str], tokenizer: str, ngr
     return df.select(*id_cols, F.explode(ana(F.col(text_col))).alias("term"))
 
 
+def terms_df(
+    df: DataFrame,
+    text_col: str = "text",
+    id_cols: list[str] | None = None,
+    tokenizer: str = "rant",
+    ngram_range: tuple[int, int] = (1, 1),
+    cache: bool = True,
+) -> DataFrame:
+    """Tokenize ONCE into an exploded (id..., term) frame shared by fit and
+    transform — the tokenize-once discipline that fixes the reference's
+    repeated re-tokenization (SURVEY.md §4.1: every sklearn vectorizer
+    re-ran MeCab over the full corpus; fit_transform tokenized twice more).
+    Pass the result as ``terms`` to fit_vocabulary/transform_counts."""
+    out = _terms(df, text_col, id_cols or ["conv_id", "turn_idx"], tokenizer, ngram_range)
+    return out.cache() if cache else out
+
+
 def fit_vocabulary(
     df: DataFrame,
     text_col: str = "text",
@@ -51,20 +68,27 @@ def fit_vocabulary(
     max_features: int | None = None,
     cutoff_ts=None,
     ts_col: str = "ts",
+    terms: DataFrame | None = None,
 ) -> DataFrame:
     """Fit → DataFrame(term, tf, docfreq, index) with lexicographic index.
 
     ``id_cols`` identify a document for doc-frequency (default
     [conv_id, turn_idx]).  ``cutoff_ts`` makes the fit point-in-time.
+    ``terms``: pre-tokenized (id..., term) frame from :func:`terms_df`
+    (the tokenize-once path; ignored when cutoff_ts is set, since the
+    cutoff filter needs the ts column).
     """
     id_cols = id_cols or ["conv_id", "turn_idx"]
     fit_df = df.filter(F.col(ts_col) <= F.lit(cutoff_ts)) if cutoff_ts is not None else df
     n_docs = fit_df.count()
 
     doc_key = F.concat_ws("", *[F.col(c).cast("string") for c in id_cols])
-    terms = _terms(fit_df, text_col, id_cols, tokenizer, ngram_range).withColumn(
-        "doc", doc_key
-    )
+    if terms is not None and cutoff_ts is None:
+        terms = terms.withColumn("doc", doc_key)
+    else:
+        terms = _terms(fit_df, text_col, id_cols, tokenizer, ngram_range).withColumn(
+            "doc", doc_key
+        )
     stats = terms.groupBy("term").agg(
         F.count(F.lit(1)).alias("tf"), F.countDistinct("doc").alias("docfreq")
     )
@@ -90,6 +114,7 @@ def transform_counts(
     tokenizer: str = "rant",
     ngram_range: tuple[int, int] = (1, 1),
     tfidf: bool = False,
+    terms: DataFrame | None = None,
 ) -> DataFrame:
     """Transform → long-format (id_cols..., index, value) sparse matrix.
 
@@ -99,7 +124,8 @@ def transform_counts(
     sink if a consumer needs it.
     """
     id_cols = id_cols or ["conv_id", "turn_idx"]
-    terms = _terms(df, text_col, id_cols, tokenizer, ngram_range)
+    if terms is None:
+        terms = _terms(df, text_col, id_cols, tokenizer, ngram_range)
     vocab = F.broadcast(vocabulary.select("term", "index", "idf"))
     counts = (
         terms.join(vocab, "term")

@@ -50,6 +50,11 @@ def _sparse_block(
     """Fit vocab + transform → (doc_id, SparseVector column), vocab terms."""
     from pyspark.ml.linalg import SparseVector, VectorUDT
 
+    # tokenize ONCE; fit and transform share the exploded terms frame
+    shared_terms = vectorize.terms_df(
+        data, text_col="rant", id_cols=["doc_id"],
+        tokenizer=tokenizer, ngram_range=ngram_range,
+    )
     vocab = vectorize.fit_vocabulary(
         data,
         text_col="rant",
@@ -58,6 +63,7 @@ def _sparse_block(
         ngram_range=ngram_range,
         min_df=min_df,
         max_features=max_features,
+        terms=shared_terms,
     )
     terms = vectorize.vocabulary_to_list(vocab)
     size = len(terms)
@@ -69,6 +75,7 @@ def _sparse_block(
         tokenizer=tokenizer,
         ngram_range=ngram_range,
         tfidf=tfidf,
+        terms=shared_terms,
     )
     entries = long.groupBy("doc_id").agg(
         F.sort_array(F.collect_list(F.struct("index", "value"))).alias("entries")

@@ -1,0 +1,95 @@
+"""Physical-plan assertions: the optimizer properties the engine relies on
+at 100 TB must hold in the actual executed plans, not just in intent.
+
+Checks: parquet predicate pushdown + column pruning, broadcast join choice,
+a single Exchange shared by the whole window-feature chain, zero Python
+nodes in the JVM as-of join, scalar-UDF prunability, and AQE enablement.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from py_evalfilter_spark.functions import textfeats
+from py_evalfilter_spark.operators import asof, windows
+from py_evalfilter_spark.plans import driver_queries as dq
+
+SF = "/root/testdata/sf0.01"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+class TestScanProperties:
+    def test_filter_pushdown_and_pruning(self, spark):
+        df = dq.q_scan_filter_project(spark, SF)
+        plan = _plan(df)
+        assert "PushedFilters:" in plan
+        assert "l_shipdate" in plan.split("PushedFilters:")[1][:300]
+        # projection pruned to the 4 needed columns
+        read = plan.split("ReadSchema:")[1][:300]
+        for col in ["l_orderkey", "l_partkey", "l_extendedprice"]:
+            assert col in read
+        assert "l_comment" not in read and "l_tax" not in read
+
+    def test_metadata_scan_skips_text(self, spark):
+        docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "n_chars")
+        read = _plan(docs).split("ReadSchema:")[1][:200]
+        assert "text" not in read
+
+
+class TestJoinStrategies:
+    def test_dimension_join_is_broadcast(self, spark):
+        plan = _plan(dq.q_broadcast_join_agg(spark, SF))
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+
+    def test_vocab_transform_join_is_broadcast(self, spark):
+        plan = _plan(dq.q_bow_counts(spark, SF))
+        assert "BroadcastHashJoin" in plan
+
+
+class TestWindowChain:
+    def test_single_exchange_for_all_window_features(self, spark):
+        t = dq.transcripts_df(spark, SF)
+        chain = windows.with_session(
+            windows.with_rolling_count(
+                windows.with_backfill(windows.with_lag_lead(t))
+            )
+        )
+        plan = _plan(chain)
+        # derivation row_number adds one Exchange (user_id), window chain
+        # adds exactly one more (conv_id) — never one per operator
+        assert plan.count("Exchange hashpartitioning") == 2, plan[:500]
+
+    def test_jvm_asof_has_no_python(self, spark):
+        t = dq.transcripts_df(spark, SF)
+        p = dq.profile_df(spark, SF)
+        plan = _plan(asof.asof_join_union_window(t, p))
+        assert "Python" not in plan
+        assert "FlatMapCoGroupsInPandas" not in plan
+
+
+class TestUdfProperties:
+    def test_scalar_feature_udf_prunes_under_count(self, spark):
+        t = dq.transcripts_df(spark, SF)
+        feats = textfeats.with_rant_stats(t)
+        counted = feats.groupBy().count()
+        assert "rant_stats_udf" not in _optimized(counted)
+        # ...but evaluates when a feature is consumed
+        consumed = feats.selectExpr("sum(tokens)")
+        assert "rant_stats_udf" in _optimized(consumed)
+
+    def test_feature_udf_is_arrow_eval(self, spark):
+        t = dq.transcripts_df(spark, SF)
+        plan = _plan(textfeats.with_rant_stats(t).select("tokens"))
+        assert "ArrowEvalPython" in plan  # vectorized, not BatchEvalPython
+
+    def test_session_config(self, spark):
+        assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+        assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
+        assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
