@@ -529,6 +529,92 @@ ASOF LEFT JOIN profile p ON t.conv_id = p.conv_id AND t.ts >= p.ts
 # ---------------------------------------------------------------------------
 
 
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON scalar extraction from the props payload column."""
+    ev = _read(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k"),
+    )
+
+
+SQL_JSON_EXTRACT = """
+SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+FROM events
+"""
+
+
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: event value totals per user bucketed by event_type columns."""
+    ev = _read(spark, sf_dir, "events")
+    out = (
+        ev.groupBy((F.col("user_id") % 10).alias("user_bucket"))
+        .pivot("event_type", ["click", "view", "purchase", "signup", "error"])
+        .agg(F.round(F.sum("value"), 2))
+    )
+    return out.select(
+        "user_bucket",
+        *[F.col(c).alias(f"v_{c}") for c in ["click", "view", "purchase", "signup", "error"]],
+    )
+
+
+SQL_PIVOT = """
+SELECT user_id % 10 AS user_bucket,
+       ROUND(SUM(CASE WHEN event_type = 'click' THEN value END), 2) AS v_click,
+       ROUND(SUM(CASE WHEN event_type = 'view' THEN value END), 2) AS v_view,
+       ROUND(SUM(CASE WHEN event_type = 'purchase' THEN value END), 2) AS v_purchase,
+       ROUND(SUM(CASE WHEN event_type = 'signup' THEN value END), 2) AS v_signup,
+       ROUND(SUM(CASE WHEN event_type = 'error' THEN value END), 2) AS v_error
+FROM events GROUP BY 1
+"""
+
+
+def q_cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over two dimensions with ALL markers."""
+    ev = _read(spark, sf_dir, "events")
+    bucket = (F.col("user_id") % 5).cast("string")
+    return (
+        ev.cube(F.col("event_type"), bucket.alias("user_bucket"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total"))
+        .select(
+            F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+            F.coalesce("user_bucket", F.lit("ALL")).alias("user_bucket"),
+            "n",
+            "total",
+        )
+    )
+
+
+SQL_CUBE_AGG = """
+SELECT COALESCE(event_type, 'ALL') AS event_type,
+       COALESCE(CAST(user_id % 5 AS STRING), 'ALL') AS user_bucket,
+       COUNT(*) AS n, ROUND(SUM(value), 2) AS total
+FROM events GROUP BY CUBE (event_type, CAST(user_id % 5 AS STRING))
+"""
+
+
+def q_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS / NOT EXISTS as left-semi and left-anti joins."""
+    c = _read(spark, sf_dir, "customer")
+    o = _read(spark, sf_dir, "orders")
+    with_orders = c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", F.lit("has_orders").alias("kind")
+    )
+    without = c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", F.lit("no_orders").alias("kind")
+    )
+    return with_orders.unionByName(without)
+
+
+SQL_SEMI_ANTI_JOIN = """
+SELECT c_custkey, 'has_orders' AS kind FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+UNION ALL
+SELECT c_custkey, 'no_orders' AS kind FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: hash-groupBy on content, keep min doc_id (survivor set)."""
     docs = _read(spark, sf_dir, "documents")
@@ -974,6 +1060,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "topk_per_group": q_topk_per_group,
     "percentiles": q_percentiles,
     "asof_join": q_asof_join,
+    "json_extract": q_json_extract,
+    "pivot": q_pivot,
+    "cube_agg": q_cube_agg,
+    "semi_anti_join": q_semi_anti_join,
     "dedup_exact": q_dedup_exact,
     "dedup_fuzzy_window": q_dedup_fuzzy_window,
     "token_count": q_token_count,
@@ -1012,6 +1102,10 @@ ORACLES: dict[str, str] = {
     "topk_per_group": SQL_TOPK_PER_GROUP,
     "percentiles": SQL_PERCENTILES,
     "asof_join": SQL_ASOF_JOIN,
+    "json_extract": SQL_JSON_EXTRACT,
+    "pivot": SQL_PIVOT,
+    "cube_agg": SQL_CUBE_AGG,
+    "semi_anti_join": SQL_SEMI_ANTI_JOIN,
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_fuzzy_window": SQL_DEDUP_FUZZY_WINDOW,
     "token_count": SQL_TOKEN_COUNT,
