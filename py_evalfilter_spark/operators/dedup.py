@@ -83,6 +83,81 @@ def fuzzy_window_pairs(
     return out
 
 
+def _lev_ratio(a: str, b: str) -> float:
+    """Levenshtein similarity ratio in [0,100] (deterministic fuzz.ratio
+    stand-in, same formula as the SQL path in fuzzy_window_pairs)."""
+    a = a or ""
+    b = b or ""
+    m = max(len(a), len(b), 1)
+    # O(len*len) DP — fine for the short-window comparisons this feeds
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return 100.0 * (1.0 - prev[-1] / m)
+
+
+def fuzzy_window_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    order_col: str,
+    partition_col: str,
+    lookahead: int = 3,
+    threshold: float = 90.0,
+    min_length: int | None = 50,
+) -> DataFrame:
+    """EXACT reference dedup semantics (deduplicate_rants.py:7-31): walk rows
+    in order; for each surviving row, mark as duplicates any of the next
+    ``lookahead`` not-yet-marked rows whose similarity ratio exceeds the
+    threshold; survivors shorter than ``min_length`` are then dropped
+    (deduplicate_rants.py:28).
+
+    The queue walk is order-chained (a row marked dup is skipped as a later
+    comparison anchor), so unlike :func:`fuzzy_window_pairs` a dup-of-a-dup
+    SURVIVES.  Sequential per partition key → applyInPandas per
+    ``partition_col`` group; ratio = Levenshtein similarity (the engine's
+    deterministic stand-in for fuzz.ratio).
+    """
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", df.schema[id_col].dataType, False),
+            T.StructField("text", T.StringType(), True),
+        ]
+    )
+
+    def walk(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_col, kind="mergesort").reset_index(drop=True)
+        texts = pdf[text_col].tolist()
+        n = len(texts)
+        dropped = set()
+        kept = []
+        for i in range(n):
+            if i in dropped:
+                continue
+            kept.append(i)
+            for j in range(i + 1, min(i + 1 + lookahead, n)):
+                if j in dropped:
+                    continue
+                if _lev_ratio(texts[i], texts[j]) > threshold:
+                    dropped.add(j)
+        out = pdf.iloc[kept][[id_col, text_col]].rename(
+            columns={id_col: "doc_id", text_col: "text"}
+        )
+        if min_length is not None:
+            out = out[out["text"].str.len() > min_length]
+        return out
+
+    cols = list(dict.fromkeys([id_col, text_col, order_col, partition_col]))
+    return (
+        df.select(*cols)
+        .groupBy(partition_col)
+        .applyInPandas(lambda pdf: walk(pdf), schema=out_schema)
+    )
+
+
 # ---------------------------------------------------------------------------
 # char-shingle helpers
 # ---------------------------------------------------------------------------

@@ -529,6 +529,35 @@ ASOF LEFT JOIN profile p ON t.conv_id = p.conv_id AND t.ts >= p.ts
 # ---------------------------------------------------------------------------
 
 
+def q_decode_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7/P8/P9 decode ops (get_gender / get_age / to_binary_categorical,
+    fuman_base.py:17-37) over synthetic raw codes derived from events."""
+    ev = _read(spark, sf_dir, "events")
+    raw_gender = (F.col("user_id") % 4).cast("int")
+    birthyear = (1950 + F.col("user_id") % 60).cast("int")
+    sentinel = F.when(F.col("user_id") % 11 == 0, 0).otherwise(birthyear)
+    return ev.select(
+        "event_id",
+        F.when(raw_gender == 1, "male")
+        .when(raw_gender == 2, "female")
+        .otherwise("unk")
+        .alias("gender"),
+        F.when(sentinel == 0, 0).otherwise(F.lit(2016) - sentinel).alias("age"),
+        F.when(F.col("value") > 100, "True").otherwise("False").alias("hasproposal"),
+    )
+
+
+SQL_DECODE_PROFILE = """
+SELECT event_id,
+       CASE WHEN user_id % 4 = 1 THEN 'male'
+            WHEN user_id % 4 = 2 THEN 'female' ELSE 'unk' END AS gender,
+       CASE WHEN user_id % 11 = 0 THEN 0
+            ELSE 2016 - CAST(1950 + user_id % 60 AS INTEGER) END AS age,
+       CASE WHEN value > 100 THEN 'True' ELSE 'False' END AS hasproposal
+FROM events
+"""
+
+
 def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON scalar extraction from the props payload column."""
     ev = _read(spark, sf_dir, "events")
@@ -1060,6 +1089,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "topk_per_group": q_topk_per_group,
     "percentiles": q_percentiles,
     "asof_join": q_asof_join,
+    "decode_profile": q_decode_profile,
     "json_extract": q_json_extract,
     "pivot": q_pivot,
     "cube_agg": q_cube_agg,
@@ -1102,6 +1132,7 @@ ORACLES: dict[str, str] = {
     "topk_per_group": SQL_TOPK_PER_GROUP,
     "percentiles": SQL_PERCENTILES,
     "asof_join": SQL_ASOF_JOIN,
+    "decode_profile": SQL_DECODE_PROFILE,
     "json_extract": SQL_JSON_EXTRACT,
     "pivot": SQL_PIVOT,
     "cube_agg": SQL_CUBE_AGG,

@@ -153,3 +153,47 @@ class TestSimilarity:
         pairs = set(zip(out.doc_id, out.dup_id))
         for i in range(3):
             assert (i, i + 100000) in pairs
+
+
+class TestFuzzyWindowDedupChain:
+    """Exact reference chain semantics (deduplicate_rants.py walk)."""
+
+    def test_dup_of_dup_survives(self, spark):
+        # 0 ~ 1 (dup), 1 ~ 2 (dup) but 0 !~ 2 → reference keeps 0 and 2
+        base = "the quick brown fox jumps over the lazy dog and runs far away"
+        # hop1: 5 single-char edits; hop2: 5 MORE disjoint edits → 0 vs 2 has
+        # 10 edits (ratio ~84 <= 90) while each hop stays > 90
+        hop1 = (base.replace("quick", "quack").replace("brown", "crown")
+                    .replace("fox", "fix").replace("jumps", "bumps").replace("over", "ever"))
+        hop2 = (hop1.replace("lazy", "hazy").replace("dog", "dig")
+                    .replace("runs", "rung").replace("far", "fur").replace("away", "awry"))
+        import pandas as pd
+        pdf = pd.DataFrame({
+            "doc_id": [0, 1, 2],
+            "text": [base, hop1, hop2],
+            "source": ["s"] * 3,
+        })
+        from py_evalfilter_spark.operators import dedup as dd
+        assert dd._lev_ratio(pdf.text[0], pdf.text[1]) > 90
+        assert dd._lev_ratio(pdf.text[1], pdf.text[2]) > 90
+        assert dd._lev_ratio(pdf.text[0], pdf.text[2]) <= 90
+        out = dd.fuzzy_window_dedup(
+            spark.createDataFrame(pdf), "doc_id", "text",
+            order_col="doc_id", partition_col="source",
+            threshold=90.0, min_length=None,
+        ).toPandas()
+        assert sorted(out.doc_id) == [0, 2]  # 1 dropped; 2 (dup-of-dup) survives
+
+    def test_min_length_filter(self, spark):
+        import pandas as pd
+        pdf = pd.DataFrame({
+            "doc_id": [0, 1],
+            "text": ["short", "x" * 60],
+            "source": ["s", "s"],
+        })
+        from py_evalfilter_spark.operators import dedup as dd
+        out = dd.fuzzy_window_dedup(
+            spark.createDataFrame(pdf), "doc_id", "text",
+            order_col="doc_id", partition_col="source", min_length=50,
+        ).toPandas()
+        assert sorted(out.doc_id) == [1]
