@@ -33,6 +33,13 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
         .config("spark.ui.enabled", "false")
+        # straggler mitigation: this VM occasionally degrades a worker for
+        # minutes (measured: 31/32 tasks in seconds, one task 15+ min);
+        # speculation re-launches slow tasks — the same defense a real
+        # cluster needs against slow executors
+        .config("spark.speculation", "true")
+        .config("spark.speculation.multiplier", "4")
+        .config("spark.speculation.quantile", "0.9")
     )
     # local-mode shuffle through the overlay FS anti-scales with thread count
     # (measured 2.5x slower at local[32] than local[8]); tmpfs fixes it.
