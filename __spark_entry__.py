@@ -23,6 +23,16 @@ from py_evalfilter_spark.operators import windows as win_op  # noqa: E402
 from py_evalfilter_spark.plans import driver_queries as dq  # noqa: E402
 
 
+def _tune(spark: SparkSession) -> SparkSession:
+    """Runtime confs the engine's semantics depend on, applied to whatever
+    session the driver passes in: UTC session timezone (epoch casts of
+    TIMESTAMP_NTZ columns must match DuckDB's naive epochs) and Arrow
+    execution for the vectorized UDFs."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+    return spark
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full point-in-time feature pipeline on sf0.001 transcripts.
 
@@ -31,11 +41,14 @@ def entry(spark: SparkSession) -> DataFrame:
     """
     from py_evalfilter_spark.plans.pipeline import feature_pipeline
 
-    return feature_pipeline(spark, "/root/testdata/sf0.001")
+    return feature_pipeline(_tune(spark), "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return dict(dq.QUERIES)
+    def wrap(fn):
+        return lambda spark, sf_dir: fn(_tune(spark), sf_dir)
+
+    return {name: wrap(fn) for name, fn in dq.QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:

@@ -1,1 +1,1 @@
-from . import asof, dedup, similarity, skew, splits, vectorize, windows  # noqa: F401
+from . import asof, dedup, encode, similarity, skew, splits, vectorize, windows  # noqa: F401

@@ -558,6 +558,49 @@ FROM events
 """
 
 
+def q_label_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 LabelEncoder parity: code = rank in sorted distinct values."""
+    from ..operators import encode
+
+    ev = _read(spark, sf_dir, "events")
+    return encode.label_encode(ev, "event_type").select(
+        "event_id", "event_type", "event_type_code"
+    )
+
+
+SQL_LABEL_ENCODE = """
+WITH dict AS (
+  SELECT event_type,
+         CAST(DENSE_RANK() OVER (ORDER BY event_type) - 1 AS INTEGER) AS event_type_code
+  FROM (SELECT DISTINCT event_type FROM events)
+)
+SELECT e.event_id, e.event_type, d.event_type_code
+FROM events e JOIN dict d USING (event_type)
+"""
+
+
+def q_one_hot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 one-hot with 'col=value' alpha-sorted column names."""
+    from ..operators import encode
+
+    ev = _read(spark, sf_dir, "events")
+    values = ["click", "error", "purchase", "signup", "view"]
+    return encode.one_hot(ev, "event_type", values=values).select(
+        "event_id", *[f"`event_type={v}`" for v in values]
+    )
+
+
+SQL_ONE_HOT = """
+SELECT event_id,
+       CAST(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS INTEGER) AS "event_type=click",
+       CAST(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS INTEGER) AS "event_type=error",
+       CAST(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS INTEGER) AS "event_type=purchase",
+       CAST(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END AS INTEGER) AS "event_type=signup",
+       CAST(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS INTEGER) AS "event_type=view"
+FROM events
+"""
+
+
 def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON scalar extraction from the props payload column."""
     ev = _read(spark, sf_dir, "events")
@@ -1090,6 +1133,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "percentiles": q_percentiles,
     "asof_join": q_asof_join,
     "decode_profile": q_decode_profile,
+    "label_encode": q_label_encode,
+    "one_hot": q_one_hot,
     "json_extract": q_json_extract,
     "pivot": q_pivot,
     "cube_agg": q_cube_agg,
@@ -1133,6 +1178,8 @@ ORACLES: dict[str, str] = {
     "percentiles": SQL_PERCENTILES,
     "asof_join": SQL_ASOF_JOIN,
     "decode_profile": SQL_DECODE_PROFILE,
+    "label_encode": SQL_LABEL_ENCODE,
+    "one_hot": SQL_ONE_HOT,
     "json_extract": SQL_JSON_EXTRACT,
     "pivot": SQL_PIVOT,
     "cube_agg": SQL_CUBE_AGG,
