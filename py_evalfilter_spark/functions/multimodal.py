@@ -21,7 +21,6 @@ Design rules for 100 TB media tables:
 from __future__ import annotations
 
 import hashlib
-import zlib
 from collections.abc import Iterator
 
 import numpy as np

@@ -1,11 +1,12 @@
 """Arrow-vectorized text feature functions (SURVEY.md §2.3-2.4).
 
-One `mapInPandas` pass computes NFKC + tokenization + the 19-field feature
-map per batch — the tokenize-once discipline that fixes the reference's
-repeated re-tokenization (SURVEY.md §4.1 "Common-subexpression reuse",
-citing /root/reference/src/evalfilter/features.py:79 and
+One scalar struct `pandas_udf` computes NFKC + tokenization + the 19-field
+feature map per Arrow batch — the tokenize-once discipline that fixes the
+reference's repeated re-tokenization (SURVEY.md §4.1 "Common-subexpression
+reuse", citing /root/reference/src/evalfilter/features.py:79 and
 src/generate_dataset_gvsb.py:72,84).  No per-row Python UDFs: Python runs
-only inside Arrow batches (input_hint).
+only inside Arrow batches (input_hint), and only the text column crosses
+the JVM↔Python boundary.
 
 At 100 TB scale this is a narrow map stage — no shuffle, embarrassingly
 parallel, and salting-safe because nothing here crosses rows.
@@ -13,7 +14,6 @@ parallel, and salting-safe because nothing here crosses rows.
 
 from __future__ import annotations
 
-from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame

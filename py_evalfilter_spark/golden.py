@@ -10,7 +10,6 @@ the correctness oracle for everything the DuckDB driver check can't express
 
 from __future__ import annotations
 
-import math
 
 import numpy as np
 import pandas as pd

@@ -76,3 +76,23 @@ def with_stable_order(df: DataFrame, by: str = "conv_id") -> DataFrame:
     """row_number over the stable (turn_idx, ts) order (W5) — used by ordering
     invariance checks."""
     return df.withColumn("rn", F.row_number().over(conv_window(by)))
+
+
+def with_rolling_time(
+    df: DataFrame,
+    window_s: int = 3600,
+    agg_col: str | None = None,
+    by: str = "conv_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Time-based rolling window (W3): count (and optional avg of
+    length(agg_col)) over the trailing ``window_s`` seconds — RANGE frame on
+    epoch seconds, peers at equal timestamps included."""
+    ep = F.col(ts_col).cast("timestamp").cast("long")
+    w = Window.partitionBy(by).orderBy(ep).rangeBetween(-window_s, 0)
+    out = df.withColumn("turns_in_window", F.count(F.lit(1)).over(w))
+    if agg_col is not None:
+        out = out.withColumn(
+            "avg_len_in_window", F.round(F.avg(F.length(agg_col)).over(w), 4)
+        )
+    return out

@@ -19,13 +19,13 @@ output.py:208, does not exist here).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..functions import textfeats
 from ..operators import splits, vectorize
-from ..sources import rants_csv, sinks, tables
+from ..sources import rants_csv, sinks
 
 
 def _with_doc_id(df: DataFrame) -> DataFrame:
