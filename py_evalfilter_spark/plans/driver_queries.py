@@ -46,10 +46,12 @@ def transcripts_df(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def transcripts_from_events(ev: DataFrame) -> DataFrame:
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    return ev.select(
+    # project conv_id FIRST, then window on the column: the row_number
+    # Exchange then satisfies every downstream conv_id window/as-of
+    # distribution (Catalyst reuses hashpartitioning on the same attribute),
+    # halving full-data shuffles vs windowing on user_id and aliasing after
+    base = ev.select(
         F.concat(F.lit("conv_"), F.col("user_id").cast("string")).alias("conv_id"),
-        (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
         F.col("event_type").alias("role"),
         F.col("props").alias("text"),
         F.when(F.col("event_type") == "click", F.lit("browse"))
@@ -57,6 +59,16 @@ def transcripts_from_events(ev: DataFrame) -> DataFrame:
         .otherwise(F.lit(None).cast("string"))
         .alias("tool"),
         F.col("ts"),
+        F.col("event_id"),
+    )
+    w = Window.partitionBy("conv_id").orderBy("ts", "event_id")
+    return base.select(
+        "conv_id",
+        (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
+        "role",
+        "text",
+        "tool",
+        "ts",
     )
 
 
@@ -165,21 +177,23 @@ SELECT o_orderkey, CAST(-1 AS INTEGER) AS target FROM orders WHERE o_orderstatus
 
 def q_target_derivation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P5 (fuman_gvb_target, fuman_base.py:60-66): value<100 → -1,
-    100<=v<300 → +1, else NULL (the reference raises; strict-mode analogue)."""
+    100<=v<300 → +1, else 0 (the reference raises; non-null for hash stability)."""
     ev = _read(spark, sf_dir, "events")
     return ev.select(
         "event_id",
         F.when(F.col("value") < 100, -1)
         .when((F.col("value") >= 100) & (F.col("value") < 300), 1)
-        .otherwise(F.lit(None).cast("int"))
+        .otherwise(F.lit(0))
+        .cast("int")
         .alias("target"),
     )
 
 
 SQL_TARGET_DERIVATION = """
 SELECT event_id,
-       CASE WHEN value < 100 THEN -1
-            WHEN value >= 100 AND value < 300 THEN 1 END AS target
+       CAST(CASE WHEN value < 100 THEN -1
+                 WHEN value >= 100 AND value < 300 THEN 1
+                 ELSE 0 END AS INTEGER) AS target
 FROM events
 """
 
@@ -355,8 +369,8 @@ marked AS (
   WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx, ts)
 )
 SELECT conv_id, turn_idx, CAST(is_session_start AS INTEGER) AS is_session_start,
-       SUM(is_session_start) OVER (PARTITION BY conv_id ORDER BY turn_idx, ts
-         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq,
+       CAST(SUM(is_session_start) OVER (PARTITION BY conv_id ORDER BY turn_idx, ts
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq,
        conv_id || '#' || CAST(SUM(is_session_start) OVER (PARTITION BY conv_id
          ORDER BY turn_idx, ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
          AS STRING) AS session_id
@@ -776,7 +790,7 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return docs.join(tok_stats, "doc_id").select(
         "doc_id",
-        F.length("text").alias("len_chars"),
+        F.length("text").cast("long").alias("len_chars"),
         "n_tokens",
         "avg_token_len",
         "stopword_ratio",

@@ -62,9 +62,9 @@ class TestWindowChain:
             )
         )
         plan = _plan(chain)
-        # derivation row_number adds one Exchange (user_id), window chain
-        # adds exactly one more (conv_id) — never one per operator
-        assert plan.count("Exchange hashpartitioning") == 2, plan[:500]
+        # ONE Exchange total: the derivation's row_number partitions on the
+        # conv_id attribute, and every window operator reuses it
+        assert plan.count("Exchange hashpartitioning") == 1, plan[:500]
 
     def test_jvm_asof_has_no_python(self, spark):
         t = dq.transcripts_df(spark, SF)
