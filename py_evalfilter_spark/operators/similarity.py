@@ -5,8 +5,11 @@
   codegen, no Python).  The correctness baseline; O(|Q|·|D|).
 * lsh_topk — random-hyperplane LSH: seeded hyperplanes → sign-bit bucket →
   bucket-join candidates (+ optional multi-probe via several independent
-  tables) → exact cosine re-rank.  The scale path: candidates ≪ |D| per
-  query; recall measured against brute force in tests.
+  tables) → exact cosine re-rank.  Scale path #1; recall measured against
+  brute force in tests.
+* ivf_topk — inverted-file index: seeded k-means cells + nprobe probing +
+  exact re-rank.  Scale path #2; at rest the cell id becomes a partition
+  column so queries scan only nprobe partitions.
 
 All randomness is seeded numpy — identical planes on every executor/run.
 """
@@ -95,6 +98,67 @@ def with_hyperplane_bucket(
         )
         bucket = bucket + F.when(dot >= 0, F.lit(1 << i)).otherwise(F.lit(0)).cast("long")
     return df.withColumn(out, bucket)
+
+
+def ivf_topk(
+    data: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF (inverted-file) ANN: k-means partitions the corpus into
+    ``n_centroids`` cells; each query probes its ``nprobe`` nearest cells and
+    exact-re-ranks only those candidates (candidate fraction ≈ nprobe/n_centroids).
+
+    Physical shape: KMeans fit is Spark ML (seeded, deterministic); cell
+    assignment is one model.transform pass stored WITH the data (at scale the
+    assignment is precomputed once and persisted as a partition column, so a
+    query touches only nprobe partitions — classic IVF pruning); the query→
+    cell probe list is computed driver-side on the tiny centroid matrix.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    d = _as_double_vec(data, id_col, vec_col)
+    dm = d.withColumn("fvec", array_to_vector("vec"))
+    km = KMeans(k=n_centroids, seed=seed, featuresCol="fvec", predictionCol="cell")
+    model = km.fit(dm)
+    assigned = model.transform(dm).select("vec_id", "vec", "cell")
+
+    centroids = np.stack([np.asarray(c, dtype="float64") for c in model.clusterCenters()])
+    q = _as_double_vec(queries, id_col, vec_col)
+    q_rows = q.collect()  # query set is small by contract (broadcast side)
+    cn = centroids / np.maximum(np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12)
+    probe_rows = []
+    for r in q_rows:
+        qv = np.asarray(r["vec"], dtype="float64")
+        qn = qv / max(np.linalg.norm(qv), 1e-12)
+        cells = np.argsort(-(cn @ qn))[:nprobe]
+        for c in cells:
+            probe_rows.append((r["vec_id"], int(c)))
+    spark = data.sparkSession
+    probes = spark.createDataFrame(probe_rows, ["qid", "cell"])
+
+    cands = (
+        F.broadcast(probes)
+        .join(assigned, "cell")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id", "vec")
+    )
+    qdf = q.select(F.col("vec_id").alias("qid"), F.col("vec").alias("qvec"))
+    scored = cands.join(F.broadcast(qdf), "qid").select(
+        "qid",
+        F.col("vec_id").alias("nid"),
+        F.round(cosine_expr("qvec", "vec"), 4).alias("sim"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("nid"))
+    return scored.withColumn("rank", F.row_number().over(w).cast("int")).filter(
+        F.col("rank") <= k
+    )
 
 
 def lsh_topk(

@@ -1053,6 +1053,14 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_pairs(docs.unionByName(dups), "doc_id", "text", max_hamming=3)
 
 
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN top-5 (rows-only; recall + determinism pinned in pytest)."""
+    from ..operators import similarity
+
+    emb = _read(spark, sf_dir, "embeddings")
+    return similarity.ivf_topk(emb, emb.filter(F.col("vec_id") < 3), k=5)
+
+
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH ANN top-5 (rows-only; recall vs brute force pinned in
     pytest — q_knn_cosine above is the exact baseline with a SQL oracle)."""
@@ -1170,6 +1178,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "embedding_neardup": q_embedding_neardup,
     "ann_lsh": q_ann_lsh,
+    "ann_ivf": q_ann_ivf,
     "langid": q_langid,
     "fingerprint": q_fingerprint,
 }
