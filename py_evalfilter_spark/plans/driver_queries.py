@@ -1053,6 +1053,19 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_pairs(docs.unionByName(dups), "doc_id", "text", max_hamming=3)
 
 
+def q_dedup_reference_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P12 exact reference semantics (deduplicate_rants.py queue walk):
+    survivor set after chained look-ahead-3 dedup + len>50 filter
+    (rows-only; chain semantics pinned in pytest)."""
+    from ..operators import dedup
+
+    docs = _read(spark, sf_dir, "documents")
+    return dedup.fuzzy_window_dedup(
+        docs, "doc_id", "text", order_col="doc_id", partition_col="source",
+        lookahead=3, threshold=90.0, min_length=50,
+    )
+
+
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN top-5 (rows-only; recall + determinism pinned in pytest)."""
     from ..operators import similarity
@@ -1179,6 +1192,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_neardup": q_embedding_neardup,
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
+    "dedup_reference_chain": q_dedup_reference_chain,
     "langid": q_langid,
     "fingerprint": q_fingerprint,
 }

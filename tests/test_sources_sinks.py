@@ -127,3 +127,20 @@ class TestLineageResume:
     def test_iceberg_gate_reports(self, spark):
         # sandbox image has no Iceberg jar; API must degrade, not crash
         assert tables.iceberg_available(spark) in (True, False)
+
+
+class TestStrictTarget:
+    def test_strict_gvb_target_raises_on_unexpected_status(self, spark, csv_dir):
+        """fuman_gvb_target raises on status outside {100, 2xx}
+        (fuman_base.py:60-66) — strict mode preserves that contract."""
+        import pandas as pd
+        import pytest as _pytest
+        from py_evalfilter_spark.sources.rants_csv import gvb_target_col
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame(pd.DataFrame({"_c6": ["999"]}))
+        strict = df.select(gvb_target_col(F.col("_c6"), strict=True).alias("t"))
+        with _pytest.raises(Exception, match="Unexpected value for status"):
+            strict.collect()
+        lax = df.select(gvb_target_col(F.col("_c6"), strict=False).alias("t")).collect()
+        assert lax[0]["t"] is None
