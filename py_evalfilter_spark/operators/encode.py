@@ -14,18 +14,20 @@ table.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
 def label_encode(df: DataFrame, col: str, out: str | None = None) -> DataFrame:
-    """sklearn-LabelEncoder parity: code = rank of value in sorted distinct."""
+    """sklearn-LabelEncoder parity: code = rank of value in sorted distinct.
+
+    The sorted index over the distinct dictionary uses the distributed
+    zipWithIndex (vectorize.with_sorted_index) — no single-partition Window
+    even when the domain is high-cardinality."""
+    from .vectorize import with_sorted_index
+
     out = out or f"{col}_code"
-    dictionary = (
-        df.select(col)
-        .distinct()
-        .withColumn(out, (F.dense_rank().over(Window.orderBy(col)) - 1).cast("int"))
-    )
+    dictionary = with_sorted_index(df.select(col).distinct(), (col,), out)
     return df.join(F.broadcast(dictionary), col, "left")
 
 

@@ -57,6 +57,44 @@ def terms_df(
     return out.cache() if cache else out
 
 
+def with_sorted_index(
+    df: DataFrame, order_cols=("term",), out: str = "index", base: int = 0
+) -> DataFrame:
+    """Append a contiguous global index (``base``, ``base``+1, …) in
+    ``order_cols`` order WITHOUT a single-partition Window: range-partition
+    + sort within partitions, local row_number per physical partition, then
+    add per-partition offsets computed from the (tiny, #partitions-sized)
+    count vector — the classic distributed zipWithIndex, all JVM-side.
+
+    ``order_cols``: column names or sort expressions (``F.col(c).desc()``
+    allowed).  The frame is cached first so the counts job and the index
+    job see identical range boundaries / partition ids.
+    """
+    order_exprs = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    d = (
+        df.repartitionByRange(*order_exprs)
+        .sortWithinPartitions(*order_exprs)
+        .withColumn("__pid", F.spark_partition_id())
+        .cache()
+    )
+    counts = {
+        r["__pid"]: r["n"]
+        for r in d.groupBy("__pid").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    offsets: list[int] = []
+    acc = base
+    for pid in sorted(counts):
+        offsets.extend([pid, acc])
+        acc += counts[pid]
+    off_map = F.create_map(*[F.lit(x) for x in offsets])
+    wloc = Window.partitionBy("__pid").orderBy(*order_exprs)
+    return (
+        d.withColumn("__r", F.row_number().over(wloc) - 1)
+        .withColumn(out, (F.col("__r") + F.element_at(off_map, F.col("__pid"))).cast("int"))
+        .drop("__pid", "__r")
+    )
+
+
 def fit_vocabulary(
     df: DataFrame,
     text_col: str = "text",
@@ -76,15 +114,31 @@ def fit_vocabulary(
     ``terms``: pre-tokenized (id..., term) frame from :func:`terms_df`
     (the tokenize-once path; ignored when cutoff_ts is set, since the
     cutoff filter needs the ts column).
+
+    Scale shape: the max_features cut is orderBy+limit →
+    TakeOrderedAndProject (distributed partial top-k; no single-partition
+    Window over the full term universe); the lexicographic index applies to
+    the bounded survivors, or via the distributed range-partitioned indexer
+    when the vocabulary is uncapped; n_docs is observed on the stats job
+    instead of a separate count scan.
     """
+    from pyspark.sql import Observation
+
     id_cols = id_cols or ["conv_id", "turn_idx"]
     fit_df = df.filter(F.col(ts_col) <= F.lit(cutoff_ts)) if cutoff_ts is not None else df
-    n_docs = fit_df.count()
 
+    # \x01 separator: distinct id tuples must not collide after concat
     doc_key = F.concat_ws("", *[F.col(c).cast("string") for c in id_cols])
+    obs = None
     if terms is not None and cutoff_ts is None:
+        # pre-tokenized path: terms_df caches, so this count reads the cache
+        n_docs = fit_df.count()
         terms = terms.withColumn("doc", doc_key)
     else:
+        # n_docs rides the stats job as an observe() metric — no separate
+        # count scan of the fit frame
+        obs = Observation("fit_n_docs")
+        fit_df = fit_df.observe(obs, F.count(F.lit(1)).alias("n"))
         terms = _terms(fit_df, text_col, id_cols, tokenizer, ngram_range).withColumn(
             "doc", doc_key
         )
@@ -93,12 +147,15 @@ def fit_vocabulary(
     )
     vocab = stats.filter(F.col("docfreq") >= min_df)
     if max_features is not None and max_features > 0:
-        w = Window.orderBy(F.col("tf").desc(), F.col("term"))
-        vocab = vocab.withColumn("r", F.row_number().over(w)).filter(
-            F.col("r") <= max_features
-        ).drop("r")
-    widx = Window.orderBy("term")
-    vocab = vocab.withColumn("index", (F.row_number().over(widx) - 1).cast("int"))
+        # TakeOrderedAndProject: per-partition partial top-k, merged once —
+        # never a single-partition global Window over all post-min_df terms
+        vocab = vocab.orderBy(F.col("tf").desc(), "term").limit(max_features)
+    # lexicographic index via the distributed zipWithIndex (also caches the
+    # fitted vocab, so downstream reuse never rescans the corpus)
+    vocab = with_sorted_index(vocab, ("term",), "index")
+    if obs is not None:
+        # the indexer's counts job already ran the fit scan → obs is filled
+        n_docs = obs.get["n"]
     # idf uses the smooth sklearn-0.16 formula; n_docs baked in at fit time
     return vocab.withColumn(
         "idf", F.log((F.lit(1.0) + F.lit(float(n_docs))) / (F.lit(1.0) + F.col("docfreq"))) + 1.0

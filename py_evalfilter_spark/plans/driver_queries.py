@@ -199,16 +199,23 @@ FROM events
 
 
 def q_groupby_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A8/corpus-level aggregation (TPC-H Q1 shape): map-side partial aggs."""
+    """A8/corpus-level aggregation (TPC-H Q1 shape): map-side partial aggs.
+
+    Money sums accumulate in exact integer 1e-4-dollar units (order-free),
+    then convert to dollars — both engines round the SAME double, so the
+    ROUND(SUM(double)) summation-order hazard cannot flip the hash.
+    """
     li = _read(spark, sf_dir, "lineitem")
+    ext_c = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    disc_bp = F.round(F.col("l_discount") * 100).cast("bigint")
     return (
         li.filter(F.col("l_shipdate") <= "1998-09-02")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
-            ),
+            F.round(
+                F.sum(ext_c * (F.lit(100) - disc_bp)) / 10000.0, 2
+            ).alias("revenue"),
             F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
             F.count(F.lit(1)).alias("n_rows"),
             F.countDistinct("l_orderkey").alias("n_orders"),
@@ -219,7 +226,8 @@ def q_groupby_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_GROUPBY_STATS = """
 SELECT l_returnflag, l_linestatus,
        ROUND(SUM(l_quantity), 2) AS sum_qty,
-       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       ROUND(CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                      * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS BIGINT) / 10000.0, 2) AS revenue,
        ROUND(AVG(l_quantity), 4) AS avg_qty,
        COUNT(*) AS n_rows,
        COUNT(DISTINCT l_orderkey) AS n_orders
@@ -240,13 +248,18 @@ def q_broadcast_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("total"),
+            # exact integer-cent sum → same double on both engines (no
+            # summation-order ulp in the hash)
+            F.round(
+                F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")) / 100.0, 2
+            ).alias("total"),
         )
     )
 
 
 SQL_BROADCAST_JOIN_AGG = """
-SELECT n_name, COUNT(*) AS n_orders, ROUND(SUM(o_totalprice), 2) AS total
+SELECT n_name, COUNT(*) AS n_orders,
+       ROUND(CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) / 100.0, 2) AS total
 FROM orders
 JOIN customer ON o_custkey = c_custkey
 JOIN nation ON c_nationkey = n_nationkey
@@ -262,13 +275,15 @@ def q_topk_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = toks.groupBy("term").agg(
         F.count(F.lit(1)).alias("tf"), F.countDistinct("doc_id").alias("df")
     )
-    w = Window.orderBy(F.col("tf").desc(), F.col("term"))
-    return (
-        stats.filter(F.col("df") >= 5)
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 50)
-        .select("term", "tf", "df", "rank")
-    )
+    # orderBy+limit compiles to TakeOrderedAndProject (distributed top-k,
+    # partial per partition) — NOT a single-partition global Window over all
+    # post-min_df terms; rank is assigned to the <=50 bounded survivors by
+    # the distributed zipWithIndex (no WindowExec single-partition fallback)
+    from ..operators.vectorize import with_sorted_index
+
+    top = stats.filter(F.col("df") >= 5).orderBy(F.col("tf").desc(), "term").limit(50)
+    ranked = with_sorted_index(top, (F.col("tf").desc(), F.col("term")), "rank", base=1)
+    return ranked.select("term", "tf", "df", "rank")
 
 
 SQL_TOPK_VOCAB = f"""
@@ -379,14 +394,31 @@ FROM marked
 
 
 def q_session_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping on (conv_id, session_seq) — NOT the derived session_id
+    string — lets Catalyst satisfy the aggregation from the sessionize
+    window's existing hashpartitioning(conv_id) Exchange (grouping keys
+    prefixed by conv_id ⇒ no second full-data shuffle); session_id is
+    concatenated after the agg."""
     t = transcripts_df(spark, sf_dir)
     s = win_op.with_session(t, gap_s=1800)
-    return s.groupBy("session_id").agg(
-        F.count(F.lit(1)).alias("n_turns"),
-        (F.max(F.col("ts").cast("timestamp").cast("long")) - F.min(F.col("ts").cast("timestamp").cast("long"))).alias(
-            "duration_s"
-        ),
-        F.countDistinct("role").alias("n_roles"),
+    return (
+        s.groupBy("conv_id", "session_seq")
+        .agg(
+            F.count(F.lit(1)).alias("n_turns"),
+            (
+                F.max(F.col("ts").cast("timestamp").cast("long"))
+                - F.min(F.col("ts").cast("timestamp").cast("long"))
+            ).alias("duration_s"),
+            F.countDistinct("role").alias("n_roles"),
+        )
+        .select(
+            F.concat(F.col("conv_id"), F.lit("#"), F.col("session_seq").cast("string")).alias(
+                "session_id"
+            ),
+            "n_turns",
+            "duration_s",
+            "n_roles",
+        )
     )
 
 
@@ -466,14 +498,20 @@ GROUP BY ROLLUP (l_returnflag, l_linestatus)
 
 
 def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-3 parts by revenue per supplier (window rank pattern)."""
+    """Top-3 parts by revenue per supplier (window rank pattern).
+
+    Revenue is summed in EXACT integer units (1e-4 dollars: cents x
+    basis-point discount complement) so the hash and the rank key are
+    engine-stable — ROUND(SUM(double)) is ulp-unstable between JVM and
+    DuckDB summation orders (the round-1 red oracle row).
+    """
     li = _read(spark, sf_dir, "lineitem")
+    ext_c = F.round(F.col("l_extendedprice") * 100).cast("bigint")  # exact cents
+    disc_bp = F.round(F.col("l_discount") * 100).cast("bigint")  # exact percent
     rev = li.groupBy("l_suppkey", "l_partkey").agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-            "revenue"
-        )
+        F.sum(ext_c * (F.lit(100) - disc_bp)).alias("revenue_e4")
     )
-    w = Window.partitionBy("l_suppkey").orderBy(F.col("revenue").desc(), "l_partkey")
+    w = Window.partitionBy("l_suppkey").orderBy(F.col("revenue_e4").desc(), "l_partkey")
     return rev.withColumn("rank", F.row_number().over(w).cast("int")).filter(
         F.col("rank") <= 3
     )
@@ -482,11 +520,12 @@ def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_TOPK_PER_GROUP = """
 WITH rev AS (
   SELECT l_suppkey, l_partkey,
-         ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+         CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                  * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_e4
   FROM lineitem GROUP BY l_suppkey, l_partkey
 )
-SELECT l_suppkey, l_partkey, revenue,
-       CAST(ROW_NUMBER() OVER (PARTITION BY l_suppkey ORDER BY revenue DESC, l_partkey) AS INTEGER) AS rank
+SELECT l_suppkey, l_partkey, revenue_e4,
+       CAST(ROW_NUMBER() OVER (PARTITION BY l_suppkey ORDER BY revenue_e4 DESC, l_partkey) AS INTEGER) AS rank
 FROM rev QUALIFY rank <= 3
 """
 
@@ -631,12 +670,16 @@ FROM events
 
 
 def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pivot: event value totals per user bucketed by event_type columns."""
+    """Pivot: event value totals per user bucketed by event_type columns.
+
+    Totals sum exact integer cents (value is 2-decimal) — hash-stable."""
     ev = _read(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("bigint")
     out = (
-        ev.groupBy((F.col("user_id") % 10).alias("user_bucket"))
+        ev.withColumn("__cents", cents)
+        .groupBy((F.col("user_id") % 10).alias("user_bucket"))
         .pivot("event_type", ["click", "view", "purchase", "signup", "error"])
-        .agg(F.round(F.sum("value"), 2))
+        .agg(F.round(F.sum("__cents") / 100.0, 2))
     )
     return out.select(
         "user_bucket",
@@ -646,22 +689,27 @@ def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_PIVOT = """
 SELECT user_id % 10 AS user_bucket,
-       ROUND(SUM(CASE WHEN event_type = 'click' THEN value END), 2) AS v_click,
-       ROUND(SUM(CASE WHEN event_type = 'view' THEN value END), 2) AS v_view,
-       ROUND(SUM(CASE WHEN event_type = 'purchase' THEN value END), 2) AS v_purchase,
-       ROUND(SUM(CASE WHEN event_type = 'signup' THEN value END), 2) AS v_signup,
-       ROUND(SUM(CASE WHEN event_type = 'error' THEN value END), 2) AS v_error
+       ROUND(CAST(SUM(CASE WHEN event_type = 'click' THEN CAST(ROUND(value * 100) AS BIGINT) END) AS BIGINT) / 100.0, 2) AS v_click,
+       ROUND(CAST(SUM(CASE WHEN event_type = 'view' THEN CAST(ROUND(value * 100) AS BIGINT) END) AS BIGINT) / 100.0, 2) AS v_view,
+       ROUND(CAST(SUM(CASE WHEN event_type = 'purchase' THEN CAST(ROUND(value * 100) AS BIGINT) END) AS BIGINT) / 100.0, 2) AS v_purchase,
+       ROUND(CAST(SUM(CASE WHEN event_type = 'signup' THEN CAST(ROUND(value * 100) AS BIGINT) END) AS BIGINT) / 100.0, 2) AS v_signup,
+       ROUND(CAST(SUM(CASE WHEN event_type = 'error' THEN CAST(ROUND(value * 100) AS BIGINT) END) AS BIGINT) / 100.0, 2) AS v_error
 FROM events GROUP BY 1
 """
 
 
 def q_cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CUBE over two dimensions with ALL markers."""
+    """CUBE over two dimensions with ALL markers (exact integer-cent sums)."""
     ev = _read(spark, sf_dir, "events")
     bucket = (F.col("user_id") % 5).cast("string")
+    cents = F.round(F.col("value") * 100).cast("bigint")
     return (
-        ev.cube(F.col("event_type"), bucket.alias("user_bucket"))
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total"))
+        ev.withColumn("__cents", cents)
+        .cube(F.col("event_type"), bucket.alias("user_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("__cents") / 100.0, 2).alias("total"),
+        )
         .select(
             F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
             F.coalesce("user_bucket", F.lit("ALL")).alias("user_bucket"),
@@ -674,7 +722,8 @@ def q_cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_CUBE_AGG = """
 SELECT COALESCE(event_type, 'ALL') AS event_type,
        COALESCE(CAST(user_id % 5 AS STRING), 'ALL') AS user_bucket,
-       COUNT(*) AS n, ROUND(SUM(value), 2) AS total
+       COUNT(*) AS n,
+       ROUND(CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) / 100.0, 2) AS total
 FROM events GROUP BY CUBE (event_type, CAST(user_id % 5 AS STRING))
 """
 
@@ -902,15 +951,12 @@ def _vocab50(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = toks.groupBy("term").agg(
         F.count(F.lit(1)).alias("tf"), F.countDistinct("doc_id").alias("df")
     )
-    wtop = Window.orderBy(F.col("tf").desc(), F.col("term"))
-    widx = Window.orderBy("term")
-    return (
-        stats.filter(F.col("df") >= 5)
-        .withColumn("r", F.row_number().over(wtop))
-        .filter(F.col("r") <= 50)
-        .withColumn("index", (F.row_number().over(widx) - 1).cast("int"))
-        .select("term", "df", "index")
-    )
+    # distributed top-k (TakeOrderedAndProject), then index the <=50
+    # survivors — no single-partition Window over the full term universe
+    from ..operators.vectorize import with_sorted_index
+
+    top = stats.filter(F.col("df") >= 5).orderBy(F.col("tf").desc(), "term").limit(50)
+    return with_sorted_index(top, ("term",), "index").select("term", "df", "index")
 
 
 VOCAB50_CTE = f"""

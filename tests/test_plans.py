@@ -66,6 +66,13 @@ class TestWindowChain:
         # conv_id attribute, and every window operator reuses it
         assert plan.count("Exchange hashpartitioning") == 1, plan[:500]
 
+    def test_session_agg_reuses_conv_exchange(self, spark):
+        # grouping on (conv_id, session_seq) must be satisfied by the
+        # sessionize window's hashpartitioning(conv_id) — one Exchange total,
+        # no second full-data shuffle on a derived session_id key
+        plan = _plan(dq.q_session_agg(spark, SF))
+        assert plan.count("Exchange hashpartitioning") == 1, plan[:800]
+
     def test_jvm_asof_has_no_python(self, spark):
         t = dq.transcripts_df(spark, SF)
         p = dq.profile_df(spark, SF)
