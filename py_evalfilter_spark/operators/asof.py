@@ -41,10 +41,12 @@ def asof_join_union_window(
     implemented entirely JVM-side (the pipeline default).
 
     Strategy: tag and union both sides, then one window pass
-    ``partitionBy(by).orderBy(on, side)`` forward-fills the right columns
-    onto later left rows (right sorts before left at equal ``on`` so exact
-    matches are visible — merge_asof allow_exact_matches=True semantics);
-    finally keep only left rows.
+    ``partitionBy(by).orderBy(on, side)`` forward-fills a single struct of
+    ALL right columns onto later left rows (right sorts before left at
+    equal ``on`` so exact matches are visible — merge_asof
+    allow_exact_matches=True semantics; the struct fill guarantees every
+    right column comes from the same matched row, including its NULLs);
+    finally keep only left rows and unpack the struct.
 
     vs the cogroup/merge_asof variant: no Arrow round-trip of the (wide)
     left columns, whole-stage-codegen window, ONE shuffle on ``by`` that
@@ -54,11 +56,20 @@ def asof_join_union_window(
     right_ts_alias = right_ts_alias or f"{on}_right"
     rv_names = [f.name for f in right.schema.fields if f.name not in (by, on)]
 
+    # ONE struct of (right ts, all right value columns) is forward-filled —
+    # never the columns independently — so every output column comes from
+    # the SAME matched right row.  Per-column last(ignorenulls) would pull a
+    # value column from an OLDER right row whenever the matched row holds
+    # NULL in that column, diverging from pd.merge_asof (which attaches the
+    # matched row's NULL) and leaking around the tolerance cut.
+    rstruct_type = T.StructType(
+        [T.StructField("__rts", right.schema[on].dataType, True)]
+        + [T.StructField(c, right.schema[c].dataType, True) for c in rv_names]
+    )
     lt = left.select(
         "*",
         F.lit(1).alias("__side"),
-        F.lit(None).cast(right.schema[on].dataType).alias(right_ts_alias),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in rv_names],
+        F.lit(None).cast(rstruct_type).alias("__rstruct"),
     )
     left_nulls = [
         F.lit(None).cast(f.dataType).alias(f.name)
@@ -70,8 +81,9 @@ def asof_join_union_window(
         F.col(on),
         *left_nulls,
         F.lit(0).alias("__side"),
-        F.col(on).alias(right_ts_alias),
-        *[F.col(c).alias(f"__r_{c}") for c in rv_names],
+        F.struct(
+            F.col(on).alias("__rts"), *[F.col(c) for c in rv_names]
+        ).alias("__rstruct"),
     ).select(*lt.columns)  # align column order with the left branch
 
     w = (
@@ -79,24 +91,28 @@ def asof_join_union_window(
         .orderBy(F.col(on).asc(), F.col("__side").asc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    filled = rt.unionByName(lt)
-    for c in [right_ts_alias] + [f"__r_{c}" for c in rv_names]:
-        filled = filled.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    filled = rt.unionByName(lt).withColumn(
+        "__rstruct", F.last("__rstruct", ignorenulls=True).over(w)
+    )
     out = filled.filter(F.col("__side") == 1).drop("__side")
     if tolerance_s is not None:
-        out = out.withColumn(
-            "__stale",
+        # staleness from the matched row's own ts; a stale match nulls the
+        # WHOLE struct (ts + all value columns together)
+        stale = (
             F.col(on).cast("timestamp").cast("long")
-            - F.col(right_ts_alias).cast("timestamp").cast("long"),
+            - F.col("__rstruct.__rts").cast("timestamp").cast("long")
         )
-        for c in [right_ts_alias] + [f"__r_{c}" for c in rv_names]:
-            out = out.withColumn(
-                c, F.when(F.col("__stale") <= tolerance_s, F.col(c)).otherwise(F.lit(None))
-            )
-        out = out.drop("__stale")
-    for c in rv_names:
-        out = out.withColumnRenamed(f"__r_{c}", c)
-    return out
+        out = out.withColumn(
+            "__rstruct",
+            F.when(stale <= tolerance_s, F.col("__rstruct")).otherwise(
+                F.lit(None).cast(rstruct_type)
+            ),
+        )
+    return out.select(
+        *[c for c in left.columns],
+        F.col("__rstruct.__rts").alias(right_ts_alias),
+        *[F.col(f"__rstruct.{c}").alias(c) for c in rv_names],
+    )
 
 
 def _pandas_dtype(spark_type: T.DataType) -> str | None:

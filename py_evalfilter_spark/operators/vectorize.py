@@ -58,7 +58,11 @@ def terms_df(
 
 
 def with_sorted_index(
-    df: DataFrame, order_cols=("term",), out: str = "index", base: int = 0
+    df: DataFrame,
+    order_cols=("term",),
+    out: str = "index",
+    base: int = 0,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """Append a contiguous global index (``base``, ``base``+1, …) in
     ``order_cols`` order WITHOUT a single-partition Window: range-partition
@@ -69,10 +73,15 @@ def with_sorted_index(
     ``order_cols``: column names or sort expressions (``F.col(c).desc()``
     allowed).  The frame is cached first so the counts job and the index
     job see identical range boundaries / partition ids.
+    ``num_partitions``: pass a small value (e.g. 1) when the input is
+    bounded-small by contract (a post-limit survivor set) to avoid paying
+    32 range-partition tasks for 50 rows; leave None for corpus-sized
+    inputs.
     """
     order_exprs = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    range_args = ([num_partitions] if num_partitions else []) + order_exprs
     d = (
-        df.repartitionByRange(*order_exprs)
+        df.repartitionByRange(*range_args)
         .sortWithinPartitions(*order_exprs)
         .withColumn("__pid", F.spark_partition_id())
         .cache()
@@ -151,8 +160,12 @@ def fit_vocabulary(
         # never a single-partition global Window over all post-min_df terms
         vocab = vocab.orderBy(F.col("tf").desc(), "term").limit(max_features)
     # lexicographic index via the distributed zipWithIndex (also caches the
-    # fitted vocab, so downstream reuse never rescans the corpus)
-    vocab = with_sorted_index(vocab, ("term",), "index")
+    # fitted vocab, so downstream reuse never rescans the corpus); a capped
+    # vocab is bounded-small -> few index partitions
+    nparts = (
+        max(1, max_features // 65536) if max_features is not None and max_features > 0 else None
+    )
+    vocab = with_sorted_index(vocab, ("term",), "index", num_partitions=nparts)
     if obs is not None:
         # the indexer's counts job already ran the fit scan → obs is filled
         n_docs = obs.get["n"]

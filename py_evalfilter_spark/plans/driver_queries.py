@@ -282,7 +282,9 @@ def q_topk_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.vectorize import with_sorted_index
 
     top = stats.filter(F.col("df") >= 5).orderBy(F.col("tf").desc(), "term").limit(50)
-    ranked = with_sorted_index(top, (F.col("tf").desc(), F.col("term")), "rank", base=1)
+    ranked = with_sorted_index(
+        top, (F.col("tf").desc(), F.col("term")), "rank", base=1, num_partitions=1
+    )
     return ranked.select("term", "tf", "df", "rank")
 
 
@@ -956,7 +958,9 @@ def _vocab50(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.vectorize import with_sorted_index
 
     top = stats.filter(F.col("df") >= 5).orderBy(F.col("tf").desc(), "term").limit(50)
-    return with_sorted_index(top, ("term",), "index").select("term", "df", "index")
+    return with_sorted_index(top, ("term",), "index", num_partitions=1).select(
+        "term", "df", "index"
+    )
 
 
 VOCAB50_CTE = f"""

@@ -43,7 +43,10 @@ def profile_frames(draw, conv_ids):
     rows = []
     for cid in conv_ids:
         for v in range(draw(st.integers(0, 3))):
-            rows.append((cid, draw(st.integers(0, 20000)), float(v)))
+            # pv may be NULL in the matched row itself: the as-of must
+            # attach that NULL, never a value from an older right row
+            pv = draw(st.sampled_from([None, float(v)]))
+            rows.append((cid, draw(st.integers(0, 20000)), pv))
     df = pd.DataFrame(rows, columns=["conv_id", "ts", "pv"])
     df = df.drop_duplicates(["conv_id", "ts"])
     df["ts"] = pd.to_datetime(df["ts"], unit="s")
@@ -97,3 +100,43 @@ def test_asof_both_impls_match_golden(spark, data):
             )
         matched = out["profile_ts"].notna()
         assert (out.loc[matched, "profile_ts"] <= out.loc[matched, "ts"]).all()
+
+
+def test_asof_matched_row_null_column_stays_null(spark):
+    """Regression (round-2 ADVICE): when the matched right row holds NULL in
+    a value column, the output must carry that NULL — not silently take the
+    column from an OLDER right row — and with tolerance_s the whole struct
+    must pass or fail the staleness cut together."""
+    left = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "conv_id": ["c0"],
+                "turn_idx": pd.array([0], dtype="int32"),
+                "ts": pd.to_datetime([1000], unit="s"),
+            }
+        )
+    )
+    right = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "conv_id": ["c0", "c0"],
+                "ts": pd.to_datetime([100, 900], unit="s"),
+                "pv": [5.0, None],  # matched row (ts=900) has NULL pv
+                "seg": ["old", "new"],
+            }
+        )
+    )
+    for impl in (asof.asof_join, asof.asof_join_union_window):
+        out = impl(left, right, on="ts", by="conv_id", right_ts_alias="profile_ts").toPandas()
+        assert len(out) == 1
+        assert out["seg"].iloc[0] == "new"
+        assert pd.isna(out["pv"].iloc[0]), f"{impl.__name__}: pv leaked from older row"
+        # tolerance: matched row is 100s old; 50s tolerance must null ALL
+        # right columns together (seg came from the matched row, so it must
+        # go too — no partial survival from older rows)
+        out_tol = impl(
+            left, right, on="ts", by="conv_id", right_ts_alias="profile_ts", tolerance_s=50
+        ).toPandas()
+        assert pd.isna(out_tol["profile_ts"].iloc[0])
+        assert pd.isna(out_tol["pv"].iloc[0])
+        assert pd.isna(out_tol["seg"].iloc[0]), f"{impl.__name__}: stale seg survived"
