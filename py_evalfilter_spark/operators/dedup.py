@@ -46,6 +46,26 @@ def exact_dedup(df: DataFrame, content_cols: list[str], id_col: str) -> DataFram
     )
 
 
+def _ratio_col(a, b, mode: str):
+    """Similarity-ratio column in [0,100] from Spark's unit-cost levenshtein.
+
+    * ``maxlen`` (engine default): 100·(1 - dist/max(la, lb)) — documented
+      deterministic stand-in.
+    * ``fuzz``: 100·(la + lb - dist)/(la + lb) — the fuzzywuzzy fuzz.ratio
+      formula (deduplicate_rants.py:17).  NOTE python-Levenshtein computes
+      dist with substitution cost 2, so near the threshold this unit-cost
+      variant reads slightly HIGHER than fuzzywuzzy for substitution-heavy
+      pairs (documented divergence; README).
+    """
+    dist = F.levenshtein(a, b)
+    la, lb = F.length(a), F.length(b)
+    if mode == "fuzz":
+        return 100.0 * (la + lb - dist) / F.greatest(la + lb, F.lit(1))
+    if mode == "maxlen":
+        return 100.0 * (1.0 - dist / F.greatest(la, lb, F.lit(1)))
+    raise ValueError(f"unknown ratio mode {mode!r}")
+
+
 def fuzzy_window_pairs(
     df: DataFrame,
     id_col: str,
@@ -54,9 +74,11 @@ def fuzzy_window_pairs(
     partition_col: str | None = None,
     lookahead: int = 3,
     threshold: float = 90.0,
+    ratio_mode: str = "maxlen",
 ) -> DataFrame:
     """Reference-shaped near-dup scan: each row vs the next ``lookahead`` rows
-    in ``order_col`` order, Levenshtein similarity ratio > threshold."""
+    in ``order_col`` order, Levenshtein similarity ratio > threshold.
+    ``ratio_mode``: see :func:`_ratio_col` ('fuzz' = reference formula)."""
     w = (
         Window.partitionBy(partition_col).orderBy(order_col)
         if partition_col
@@ -65,11 +87,7 @@ def fuzzy_window_pairs(
     parts = []
     for k in range(1, lookahead + 1):
         cand_text = F.lead(text_col, k).over(w)
-        ratio = 100.0 * (
-            1.0
-            - F.levenshtein(text_col, cand_text)
-            / F.greatest(F.length(text_col), F.length(cand_text), F.lit(1))
-        )
+        ratio = _ratio_col(F.col(text_col), cand_text, ratio_mode)
         parts.append(
             df.select(
                 F.col(id_col).alias("doc_id"),
@@ -83,20 +101,30 @@ def fuzzy_window_pairs(
     return out
 
 
-def _lev_ratio(a: str, b: str) -> float:
-    """Levenshtein similarity ratio in [0,100] (deterministic fuzz.ratio
-    stand-in, same formula as the SQL path in fuzzy_window_pairs)."""
+def _lev_ratio(a: str, b: str, mode: str = "maxlen") -> float:
+    """Levenshtein similarity ratio in [0,100], matching :func:`_ratio_col`.
+
+    ``maxlen``: 100·(1 - dist/max(la, lb)) (unit-cost dist).
+    ``fuzz``: 100·(la + lb - dist2)/(la + lb) with SUBSTITUTION COST 2 —
+    exactly python-Levenshtein's ``ratio`` (what fuzzywuzzy fuzz.ratio
+    calls, deduplicate_rants.py:17), before fuzzywuzzy's int rounding.
+    """
     a = a or ""
     b = b or ""
-    m = max(len(a), len(b), 1)
+    sub_cost = 2 if mode == "fuzz" else 1
     # O(len*len) DP — fine for the short-window comparisons this feeds
     prev = list(range(len(b) + 1))
     for i, ca in enumerate(a, 1):
         cur = [i]
         for j, cb in enumerate(b, 1):
-            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+            cur.append(
+                min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (sub_cost if ca != cb else 0))
+            )
         prev = cur
-    return 100.0 * (1.0 - prev[-1] / m)
+    if mode == "fuzz":
+        lsum = max(len(a) + len(b), 1)
+        return 100.0 * (lsum - prev[-1]) / lsum
+    return 100.0 * (1.0 - prev[-1] / max(len(a), len(b), 1))
 
 
 def fuzzy_window_dedup(
@@ -108,6 +136,7 @@ def fuzzy_window_dedup(
     lookahead: int = 3,
     threshold: float = 90.0,
     min_length: int | None = 50,
+    ratio_mode: str = "maxlen",
 ) -> DataFrame:
     """EXACT reference dedup semantics (deduplicate_rants.py:7-31): walk rows
     in order; for each surviving row, mark as duplicates any of the next
@@ -118,8 +147,9 @@ def fuzzy_window_dedup(
     The queue walk is order-chained (a row marked dup is skipped as a later
     comparison anchor), so unlike :func:`fuzzy_window_pairs` a dup-of-a-dup
     SURVIVES.  Sequential per partition key → applyInPandas per
-    ``partition_col`` group; ratio = Levenshtein similarity (the engine's
-    deterministic stand-in for fuzz.ratio).
+    ``partition_col`` group; ratio = :func:`_lev_ratio` (default 'maxlen'
+    stand-in; ``ratio_mode='fuzz'`` gives exact python-Levenshtein
+    fuzz.ratio parity with substitution cost 2).
     """
     out_schema = T.StructType(
         [
@@ -141,7 +171,7 @@ def fuzzy_window_dedup(
             for j in range(i + 1, min(i + 1 + lookahead, n)):
                 if j in dropped:
                     continue
-                if _lev_ratio(texts[i], texts[j]) > threshold:
+                if _lev_ratio(texts[i], texts[j], ratio_mode) > threshold:
                     dropped.add(j)
         out = pdf.iloc[kept][[id_col, text_col]].rename(
             columns={id_col: "doc_id", text_col: "text"}
@@ -167,13 +197,9 @@ def _shingles_df(
     df: DataFrame, id_col: str, text_col: str, n: int, max_shingle_df: int | None
 ) -> DataFrame:
     """(id, shingle) distinct pairs; optionally drop shingles appearing in
-    more than ``max_shingle_df`` docs (stop-shingle cut for join safety)."""
-    arr = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.length(text_col) - n, F.lit(0))),
-        lambda i: F.substring(F.col(text_col), 1, 0).__class__
-        and F.expr(f"substr({text_col}, CAST({{i}} AS INT) + 1, {n})".format(i="i")),
-    )
-    # simpler + JVM-side: sequence of start offsets → substr via transform
+    more than ``max_shingle_df`` docs (stop-shingle cut for join safety).
+
+    JVM-side: sequence of start offsets → substr via transform."""
     sh = df.select(
         F.col(id_col).alias("doc_id"),
         F.explode(
@@ -182,8 +208,7 @@ def _shingles_df(
                     F.sequence(
                         F.lit(1), F.greatest(F.length(text_col) - (n - 1), F.lit(1))
                     ),
-                    lambda i: F.substring_index(F.lit(""), "", 1).__class__
-                    and F.col(text_col).substr(i, F.lit(n)),
+                    lambda i: F.col(text_col).substr(i, F.lit(n)),
                 )
             )
         ).alias("shingle"),
@@ -247,6 +272,31 @@ def _minhash_coeffs(num_perm: int, seed: int = 42) -> tuple[np.ndarray, np.ndarr
     return a, b
 
 
+def _mulmod_m61(a: np.ndarray, h: np.ndarray) -> np.ndarray:
+    """EXACT (a * h) mod 2^61-1 in uint64 numpy (broadcasting), for
+    a < 2^61 and h < 2^32 — no 64-bit wraparound.
+
+    Split a = a_hi·2^32 + a_lo:
+      a_lo·h < 2^64 fits u64 → fold (x & M) + (x >> 61);
+      t = a_hi·h < 2^61 fits; with t = u·2^29 + v,
+      t·2^32 = u·2^61 + v·2^32 ≡ u + v·2^32 (mod M) since 2^61 ≡ 1.
+    """
+    M = np.uint64(_MERSENNE)
+    a = np.asarray(a, dtype=np.uint64)
+    h = np.asarray(h, dtype=np.uint64)
+    a_hi = a >> np.uint64(32)
+    a_lo = a & np.uint64(0xFFFFFFFF)
+    lo = a_lo * h  # < 2^64, exact
+    lo = (lo & M) + (lo >> np.uint64(61))
+    t = a_hi * h  # < 2^61, exact
+    u = t >> np.uint64(29)
+    v = t & np.uint64((1 << 29) - 1)
+    hi = u + (v << np.uint64(32))  # < 2^32 + 2^61
+    out = lo + hi  # < 2^63
+    out = (out & M) + (out >> np.uint64(61))
+    return np.where(out >= M, out - M, out)
+
+
 def _char_shingle_hashes(text: str, n: int) -> np.ndarray:
     if not isinstance(text, str) or len(text) == 0:
         return np.empty(0, dtype=np.uint64)
@@ -281,8 +331,12 @@ def minhash_signatures(
                 if hs.size == 0:
                     sigs.append(np.full(num_perm, np.iinfo(np.int64).max).tolist())
                     continue
-                # (a*h + b) mod p, min over shingles, per permutation
-                vals = (hs[None, :] * a[:, None] + b[:, None]) % _MERSENNE
+                # (a*h + b) mod p EXACTLY (no u64 wraparound — _mulmod_m61),
+                # min over shingles, per permutation: a true universal hash
+                # family so the banded candidate probability 1-(1-j^r)^b holds
+                vals = _mulmod_m61(a[:, None], hs[None, :]) + b[:, None]
+                M = np.uint64(_MERSENNE)
+                vals = np.where(vals >= M, vals - M, vals)
                 sigs.append(vals.min(axis=1).astype(np.int64).tolist())
             yield pd.DataFrame({"doc_id": pdf[id_col], "signature": sigs})
 

@@ -331,6 +331,25 @@ def word_ngrams(tokens: list[str], min_n: int, max_n: int) -> list[str]:
     return out
 
 
+# The reference's shipped Japanese stopword list (analysis.py:8-13) —
+# dormant there (no entry point passes it) but part of the public surface;
+# pass as ``stop_words`` to :func:`analyze` / the vectorizers to enable.
+STOPWORDS_JA: frozenset = frozenset(
+    {
+        "の", "が", "て", "、", "する", "ある", "です", "ます", "た", "から",
+        "れる", "いる", "「", "　", "」", "と", "くる", "で", "ない", "を",
+        "に", "なる", "。", "だ", "のに", "でる", "は", "よう", "も", "しか",
+        "いう", "う", "・", "ので", "けど", "こと", "など", "ば", "すでに",
+        "によって", "くらい", "さ", "－", "一", "か", "\\", "n", "etc.", "etc",
+        "すぎる", "これ", "それ", "あれ", "この", "その", "あの", "もっとも",
+        "もっと", "に関し", "に関して", "あなたと", "あなた", "あなたに",
+        "打ち合せ", "打合せ", "いただき", "それぞれに", "それぞれ", "よって",
+        "として", "for", "や", "のもの", "そのもの", "つくれる", "くれる",
+        "明らか", "てる",
+    }
+)
+
+
 def analyze(
     text: str,
     tokenizer,

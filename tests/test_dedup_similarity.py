@@ -223,3 +223,70 @@ class TestIvf:
         a = similarity.ivf_topk(emb, queries, k=5).toPandas().sort_values(["qid","rank"]).reset_index(drop=True)
         b = similarity.ivf_topk(emb, queries, k=5).toPandas().sort_values(["qid","rank"]).reset_index(drop=True)
         assert (a == b).all().all()
+
+
+class TestHashAndRatioPrimitives:
+    def test_mulmod_m61_exact_vs_python_ints(self):
+        """The vectorized (a*h) mod 2^61-1 must equal exact integer math —
+        the round-1 implementation wrapped mod 2^64 first, breaking the
+        universal-hash family the banded-LSH probability math assumes."""
+        rng = np.random.RandomState(7)
+        M = (1 << 61) - 1
+        a = rng.randint(1, M, size=64, dtype=np.int64).astype(np.uint64)
+        h = rng.randint(0, 1 << 32, size=257, dtype=np.int64).astype(np.uint64)
+        got = dedup._mulmod_m61(a[:, None], h[None, :])
+        for i in range(0, 64, 7):
+            for j in range(0, 257, 31):
+                want = (int(a[i]) * int(h[j])) % M
+                assert int(got[i, j]) == want, (i, j)
+
+    def test_minhash_signature_matches_scalar_reference(self):
+        a, b = dedup._minhash_coeffs(8, seed=42)
+        hs = dedup._char_shingle_hashes("the quick brown fox", 3)
+        M = (1 << 61) - 1
+        want = [
+            min((int(ai) * int(x) + int(bi)) % M for x in hs.tolist())
+            for ai, bi in zip(a.tolist(), b.tolist())
+        ]
+        got = dedup._mulmod_m61(a[:, None], hs[None, :]) + b[:, None]
+        got = np.where(got >= np.uint64(M), got - np.uint64(M), got).min(axis=1)
+        assert got.tolist() == want
+
+    def test_lev_ratio_fuzz_mode_is_python_levenshtein_ratio(self):
+        # python-Levenshtein ratio: (la+lb-dist2)/(la+lb), substitution cost 2
+        assert dedup._lev_ratio("this is a test", "this is a test!", "fuzz") == pytest.approx(
+            100.0 * 28 / 29
+        )
+        # one substitution = cost 2: ("abcd" -> "abxd") = (8-2)/8
+        assert dedup._lev_ratio("abcd", "abxd", "fuzz") == pytest.approx(75.0)
+        # maxlen mode counts the same edit as cost 1 over max length
+        assert dedup._lev_ratio("abcd", "abxd", "maxlen") == pytest.approx(75.0)
+        assert dedup._lev_ratio("", "", "fuzz") == pytest.approx(100.0)
+
+    def test_ratio_col_fuzz_mode_matches_python(self, spark):
+        pdf = pd.DataFrame({"a": ["abcd", "kitten", "x"], "b": ["abxd", "sitting", ""]})
+        sdf = spark.createDataFrame(pdf)
+        got = (
+            sdf.select(dedup._ratio_col(F.col("a"), F.col("b"), "fuzz").alias("r"))
+            .toPandas()["r"]
+            .tolist()
+        )
+        # unit-cost dist in the SQL path (documented divergence from the
+        # sub-cost-2 python-Levenshtein): (la+lb-dist)/(la+lb)
+        assert got[0] == pytest.approx(100.0 * (8 - 1) / 8)
+        assert got[1] == pytest.approx(100.0 * (13 - 3) / 13)
+        assert got[2] == pytest.approx(0.0)
+
+    def test_fuzzy_window_dedup_fuzz_mode_runs(self, spark):
+        pdf = pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "text": ["a" * 60, "a" * 59 + "b", "c" * 60],
+                "source": ["s", "s", "s"],
+            }
+        )
+        out = dedup.fuzzy_window_dedup(
+            spark.createDataFrame(pdf), "doc_id", "text", order_col="doc_id",
+            partition_col="source", ratio_mode="fuzz",
+        ).toPandas()
+        assert sorted(out["doc_id"].tolist()) == [1, 3]

@@ -214,3 +214,25 @@ class TestGoldenAsof:
         assert golden.decode_gender("zzz") == "unk"
         assert golden.derive_age(0, 2016) == 0
         assert golden.derive_age(1990, 2016) == 26
+
+
+class TestStopwords:
+    def test_stopword_list_matches_reference_literal(self):
+        """STOPWORDS_JA must equal the reference's shipped set
+        (analysis.py:8-13) exactly — parsed from the read-only source so
+        drift is caught."""
+        import ast
+        import re
+
+        src = open("/root/reference/src/evalfilter/analysis.py", encoding="utf-8").read()
+        m = re.search(r"STOPWORDS = (\{.*?\})\n\n", src, re.S)
+        assert m, "reference STOPWORDS literal not found"
+        ref = set(ast.literal_eval(m.group(1)))
+        assert set(tc.STOPWORDS_JA) == ref
+
+    def test_analyze_filters_stopwords(self):
+        toks = tc.analyze(
+            "これ は テスト です", tc.tokenize_rant, (1, 1), stop_words=tc.STOPWORDS_JA
+        )
+        assert "これ" not in toks and "です" not in toks
+        assert "テスト" in toks
