@@ -1069,10 +1069,40 @@ def q_vectorize_type_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# shared corpus CTE for the dedup oracles: documents + injected near-dups
+# (doc_id % 37 == 0 → copy at doc_id+1e6 with ' x' appended), mirroring the
+# Spark-side injection in the queries below
+DEDUP_CORPUS_CTE = """
+corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text || ' x' AS text
+  FROM documents WHERE doc_id % 37 = 0
+)
+"""
+
+# distinct char-3-gram shingles per doc (sequence-of-offsets + substr — the
+# same semantics as operators/dedup._shingles_df)
+DEDUP_SHINGLES_CTE = """
+sh AS (
+  SELECT DISTINCT doc_id, substr(text, CAST(i AS INTEGER), 3) AS shingle
+  FROM corpus, unnest(range(1, GREATEST(length(text) - 2, 1) + 1)) AS t(i)
+  WHERE length(substr(text, CAST(i AS INTEGER), 3)) > 0
+)
+"""
+
+
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH near-dup pairs with exact Jaccard verify (rows-only:
-    LSH banding isn't ANSI-SQL; recall/precision pinned in pytest).  Runs on
-    a near-dup-injected copy of documents so candidates exist."""
+    """MinHash-LSH near-dup pairs with exact Jaccard verify.
+
+    Oracle: the FULL exact char-3-gram Jaccard >= 0.8 pair set.  The LSH
+    stage's capture probability at the 0.8 threshold is 1-(1-0.8^4)^16 ≈
+    0.9998 (and ≈1 for the injected near-identical dups), and the banding is
+    seeded/deterministic — so on the driver's fixed corpus the candidate set
+    provably covers every qualifying pair (validated exact at sf0.001 and
+    sf0.01); the exact-verify stage then makes precision 1.0 by
+    construction.  A pair missed by banding would surface as a row-count
+    mismatch — that IS the recall check."""
     from ..operators import dedup
 
     docs = _read(spark, sf_dir, "documents")
@@ -1086,6 +1116,24 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_lsh_pairs(
         docs.unionByName(dups), "doc_id", "text", n=3, num_perm=64, bands=16, threshold=0.8
     )
+
+
+SQL_DEDUP_MINHASH = f"""
+WITH {DEDUP_CORPUS_CTE.strip()},
+{DEDUP_SHINGLES_CTE.strip()},
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_id, b.doc_id AS dup_id, COUNT(*) AS c
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT c0.doc_id, c0.dup_id,
+       ROUND(c0.c * 1.0 / (sa.sz + sb.sz - c0.c), 4) AS jaccard
+FROM common c0
+JOIN sizes sa ON sa.doc_id = c0.doc_id
+JOIN sizes sb ON sb.doc_id = c0.dup_id
+WHERE ROUND(c0.c * 1.0 / (sa.sz + sb.sz - c0.c), 4) >= 0.8
+"""
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1124,6 +1172,19 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(emb, emb.filter(F.col("vec_id") < 3), k=5)
 
 
+def q_ann_ivf_fullprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with nprobe == n_centroids: probing every cell must reproduce the
+    exact brute-force top-5 bit-for-bit — a SQL-checkable correctness gate
+    on the whole IVF machinery (assignment, probe join, re-rank), with the
+    same DuckDB oracle as knn_cosine."""
+    from ..operators import similarity
+
+    emb = _read(spark, sf_dir, "embeddings")
+    return similarity.ivf_topk(
+        emb, emb.filter(F.col("vec_id") < 3), k=5, n_centroids=8, nprobe=8
+    )
+
+
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH ANN top-5 (rows-only; recall vs brute force pinned in
     pytest — q_knn_cosine above is the exact baseline with a SQL oracle)."""
@@ -1151,8 +1212,9 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact char-3-gram Jaccard near-dup pairs on the dup-injected corpus
-    (rows-only; exactness vs a brute-force all-pairs oracle in pytest)."""
+    """Exact char-3-gram Jaccard near-dup pairs on the dup-injected corpus.
+    DuckDB oracle: shingle-unnest self-join with the identical
+    max_shingle_df=400 stop-shingle cut (sizes measured post-cut)."""
     from ..operators import dedup
 
     docs = _read(spark, sf_dir, "documents")
@@ -1168,9 +1230,32 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SQL_DEDUP_NGRAM_JACCARD = f"""
+WITH {DEDUP_CORPUS_CTE.strip()},
+{DEDUP_SHINGLES_CTE.strip()},
+cut AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(DISTINCT doc_id) <= 400),
+shf AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN cut USING (shingle)),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shf GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_id, b.doc_id AS dup_id, COUNT(*) AS c
+  FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT c0.doc_id, c0.dup_id,
+       ROUND(c0.c * 1.0 / (sa.sz + sb.sz - c0.c), 4) AS jaccard
+FROM common c0
+JOIN sizes sa ON sa.doc_id = c0.doc_id
+JOIN sizes sb ON sb.doc_id = c0.dup_id
+WHERE ROUND(c0.c * 1.0 / (sa.sz + sb.sz - c0.c), 4) >= 0.8
+"""
+
+
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs via hyperplane blocking (rows-only;
-    self-consistency pinned in pytest).  Duplicated vectors injected."""
+    """Embedding-cosine near-dup pairs via hyperplane blocking; injected
+    exact-copy vectors.  DuckDB oracle: brute-force all-pairs cosine >=
+    threshold — at 0.999 every qualifying pair is (near-)identical, so it
+    always shares all 12 hyperplane signs and blocking has recall 1 here
+    (a missed pair would surface as a row-count mismatch)."""
     from ..operators import dedup
 
     emb = _read(spark, sf_dir, "embeddings")
@@ -1180,6 +1265,20 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.embedding_neardup_pairs(
         emb.unionByName(dups), "vec_id", "embedding", threshold=0.999, n_planes=12
     )
+
+
+SQL_EMBEDDING_NEARDUP = """
+WITH corpus AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000 AS vec_id, CAST(embedding AS DOUBLE[]) AS vec
+  FROM embeddings WHERE vec_id % 53 = 0
+)
+SELECT a.vec_id AS doc_id, b.vec_id AS dup_id,
+       ROUND(list_cosine_similarity(a.vec, b.vec), 4) AS cosine
+FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+WHERE ROUND(list_cosine_similarity(a.vec, b.vec), 4) >= 0.999
+"""
 
 
 def q_vectorize_pos_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1242,6 +1341,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_neardup": q_embedding_neardup,
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
+    "ann_ivf_fullprobe": q_ann_ivf_fullprobe,
     "dedup_reference_chain": q_dedup_reference_chain,
     "langid": q_langid,
     "fingerprint": q_fingerprint,
@@ -1280,6 +1380,12 @@ ORACLES: dict[str, str] = {
     "knn_cosine": SQL_KNN_COSINE,
     "bow_counts": SQL_BOW_COUNTS,
     "bow_tfidf": SQL_BOW_TFIDF,
-    # rows-only (Arrow-UDF tokenizers; allclose-tested vs golden in pytest):
-    # rant_stats_features, vectorize_type_ngrams, vectorize_pos_tfidf
+    "dedup_ngram_jaccard": SQL_DEDUP_NGRAM_JACCARD,
+    "dedup_minhash": SQL_DEDUP_MINHASH,
+    "embedding_neardup": SQL_EMBEDDING_NEARDUP,
+    "ann_ivf_fullprobe": SQL_KNN_COSINE,  # full probe ≡ exact brute force
+    # rows-only (Arrow-UDF tokenizers / banded-LSH internals not expressible
+    # in ANSI SQL; allclose- or recall-tested in pytest): rant_stats_features,
+    # vectorize_type_ngrams, vectorize_pos_tfidf, dedup_simhash, ann_lsh,
+    # ann_ivf, dedup_reference_chain, langid, fingerprint
 }
