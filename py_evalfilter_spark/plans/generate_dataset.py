@@ -3,29 +3,36 @@
 Mirrors /root/reference/src/generate_dataset_gvsb.py (good-vs-bad) and
 src/generate_dataset_price.py (price regression): load labeled rants →
 FeatureUnion of [RantStats dict-features | token-type n-gram BoW | POS
-n-gram BoW (count or tfidf)] → fold split → dump folds + vocabulary JSON +
-metadata.  Same defaults as the reference CLIs (gvsb: type (1,3)/min_df 25/
-max 500, pos (1,2)/min_df 25/max 4000; price: pos max 1000/min_df 10).
+n-gram BoW (count or tfidf) | word-token TF-IDF (rant_bow)] → fold split →
+dump folds + vocabulary JSON + metadata.  Same defaults as the reference
+CLIs (gvsb: type (1,3)/min_df 25/max 500, pos (1,2)/min_df 25/max 4000;
+price: pos max 1000/min_df 10, word_max_features 0 ⇒ rant_bow off, as in
+generate_dataset_price.py:44-45,124-130).
 
 Block layout parity (FeatureUnion hstack order, generate_dataset_gvsb.py:74-90):
-  [ rant_stats (19, alpha-sorted) | type_vec vocab (sorted) | pos_vec vocab (sorted) ]
+  [ rant_stats (19, alpha-sorted) | type_vec vocab | pos_vec vocab | word_vec vocab ]
 
-Spark shape: all three blocks are columns of ONE DataFrame (positional
-hstack ≡ row identity — SURVEY.md §2.6 J1); BoW blocks stay sparse
-(long-format → ml SparseVector) and VectorAssembler concatenates them, so
-nothing densifies (the reference's hstack().todense() OOM hazard,
-output.py:208, does not exist here).
+Spark shape: every block stays LONG/sparse as an array<struct<index,value>>
+column of ONE DataFrame (positional hstack ≡ row identity — SURVEY.md §2.6
+J1); block concatenation is an index-shifted JVM array concat, and the
+svmlight sink formats lines with pure string expressions.  Nothing
+densifies (the reference's hstack().todense() OOM hazard, output.py:208,
+does not exist here) and NO row-at-a-time Python UDF exists anywhere in
+the plan — the only Python is the Arrow-vectorized analyzer/stats UDFs.
+Downstream ML consumers read the written files with the JVM libsvm parser
+(plans/train_eval.load_fold), so VectorUDT never materializes in Python.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
 from ..functions import textfeats
 from ..operators import splits, vectorize
 from ..sources import rants_csv, sinks
+
+ENTRY_TYPE = "array<struct<index:int,value:double>>"
 
 
 def _with_doc_id(df: DataFrame) -> DataFrame:
@@ -38,6 +45,27 @@ def _with_doc_id(df: DataFrame) -> DataFrame:
     return df.withColumn("doc_id", F.monotonically_increasing_id()).cache()
 
 
+def _entry_struct(index_col, value_col):
+    return F.struct(index_col.cast("int").alias("index"), value_col.alias("value"))
+
+
+def _shift_entries(entries_col, offset: int):
+    """Re-base a sorted entries array onto a block offset (JVM transform)."""
+    return F.transform(
+        entries_col, lambda e: _entry_struct(e["index"] + F.lit(offset), e["value"])
+    )
+
+
+def _numeric_cols_entries(col_names: list[str]):
+    """Dense numeric columns → sorted sparse entries (zeros dropped), all
+    JVM array expressions: the DictVectorizer block without a Python UDF."""
+    arr = F.array(*[F.col(f"`{c}`").cast("double") for c in col_names])
+    return F.filter(
+        F.transform(arr, lambda x, i: _entry_struct(i, x)),
+        lambda e: e["value"] != 0.0,
+    )
+
+
 def _sparse_block(
     data: DataFrame,
     tokenizer: str,
@@ -47,9 +75,7 @@ def _sparse_block(
     tfidf: bool,
     out_col: str,
 ) -> tuple[DataFrame, list[str]]:
-    """Fit vocab + transform → (doc_id, SparseVector column), vocab terms."""
-    from pyspark.ml.linalg import SparseVector, VectorUDT
-
+    """Fit vocab + transform → (doc_id, sorted entries array), vocab terms."""
     # tokenize ONCE; fit and transform share the exploded terms frame
     shared_terms = vectorize.terms_df(
         data, text_col="rant", id_cols=["doc_id"],
@@ -66,7 +92,6 @@ def _sparse_block(
         terms=shared_terms,
     )
     terms = vectorize.vocabulary_to_list(vocab)
-    size = len(terms)
     long = vectorize.transform_counts(
         data,
         vocab,
@@ -78,19 +103,14 @@ def _sparse_block(
         terms=shared_terms,
     )
     entries = long.groupBy("doc_id").agg(
-        F.sort_array(F.collect_list(F.struct("index", "value"))).alias("entries")
+        F.sort_array(
+            F.collect_list(_entry_struct(F.col("index"), F.col("value")))
+        ).alias(out_col)
     )
-
-    @F.udf(VectorUDT())
-    def to_vec(entries):
-        entries = entries or []
-        return SparseVector(size, [e["index"] for e in entries], [e["value"] for e in entries])
-
-    vec = entries.select("doc_id", to_vec("entries").alias(out_col))
-    # left join: docs with no in-vocab terms get an empty sparse vector
-    empty = F.udf(lambda: SparseVector(size, [], []), VectorUDT())
-    joined = data.select("doc_id").join(vec, "doc_id", "left").select(
-        "doc_id", F.coalesce(F.col(out_col), empty()).alias(out_col)
+    # left join: docs with no in-vocab terms get an empty entries array
+    joined = data.select("doc_id").join(entries, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col(out_col), F.expr(f"CAST(array() AS {ENTRY_TYPE})")).alias(out_col),
     )
     return joined, terms
 
@@ -104,39 +124,61 @@ def build_feature_matrix(
     pos_min_df: int = 25,
     pos_max_features: int = 4000,
     pos_vec_type: str = "count",
+    word_min_df: int = 25,
+    word_max_features: int = 0,
 ) -> tuple[DataFrame, list[str]]:
-    """FeatureUnion: (df with doc_id, target, 19 stats cols, type_vec,
-    pos_vec, features vector), full header list in block order."""
-    from pyspark.ml.feature import VectorAssembler
+    """FeatureUnion: df with (doc_id, target/pass-through cols, 19 stats
+    cols, features_entries sorted sparse array), full header in block order
+    [stats | type | pos | word].
 
+    ``word_max_features`` > 0 enables the reference's ``rant_bow`` block —
+    TfidfVectorizer(tokenizer=tokenize_rant) over word tokens
+    (generate_dataset_price.py:124-130; default 0 = off, matching the CLI).
+    """
     data = _with_doc_id(data)
-    stats = textfeats.with_rant_stats(data, text_col="rant")
+    out = textfeats.with_rant_stats(data, text_col="rant")
 
-    out = stats
     header = list(textfeats.feature_fields())
-    blocks: list[str] = []
-    if type_max_features:
-        type_block, type_terms = _sparse_block(
-            data, "token_type", (1, type_ngram), type_min_df, type_max_features,
-            tfidf=False, out_col="type_vec",
-        )
-        out = out.join(type_block, "doc_id")
-        header += type_terms
-        blocks.append("type_vec")
-    if pos_max_features:
-        pos_block, pos_terms = _sparse_block(
-            data, "pos", (1, pos_ngram), pos_min_df, pos_max_features,
-            tfidf=(pos_vec_type == "tfidf"), out_col="pos_vec",
-        )
-        out = out.join(pos_block, "doc_id")
-        header += pos_terms
-        blocks.append("pos_vec")
+    entries_cols = [_numeric_cols_entries(list(textfeats.feature_fields()))]
+    block_specs = [
+        ("type_vec", "token_type", (1, type_ngram), type_min_df, type_max_features, False),
+        ("pos_vec", "pos", (1, pos_ngram), pos_min_df, pos_max_features,
+         pos_vec_type == "tfidf"),
+        ("word_vec", "rant", (1, 1), word_min_df, word_max_features, True),
+    ]
+    for out_col, tok, ng, mdf, mfeat, tfidf in block_specs:
+        if not mfeat:
+            continue
+        block, terms = _sparse_block(data, tok, ng, mdf, mfeat, tfidf, out_col)
+        out = out.join(block, "doc_id")
+        entries_cols.append(_shift_entries(F.col(out_col), len(header)))
+        header += terms
+    features = entries_cols[0]
+    for e in entries_cols[1:]:
+        features = F.concat(features, e)
+    # per-block arrays are index-sorted and offsets increase monotonically,
+    # so the concat is globally sorted — the svmlight invariant
+    return out.withColumn("features_entries", features), header
 
-    stat_cols = [f"`{c}`" for c in textfeats.feature_fields()]
-    assembler = VectorAssembler(
-        inputCols=textfeats.feature_fields() + blocks, outputCol="features"
+
+def _svmlight_lines(df: DataFrame, label_col: str, entries_col: str = "features_entries"):
+    """label idx+1:value ... — pure JVM string expressions (svmlight is
+    1-based; zeros were dropped at entry construction)."""
+    parts = F.transform(
+        F.col(entries_col),
+        lambda e: F.concat(
+            (e["index"] + 1).cast("string"), F.lit(":"), e["value"].cast("string")
+        ),
     )
-    return assembler.transform(out), header
+    return df.select(
+        F.concat_ws(" ", F.col(label_col).cast("double").cast("string"), parts).alias("value")
+    )
+
+
+def write_svmlight_entries(
+    df: DataFrame, path: str, label_col: str, entries_col: str = "features_entries"
+) -> None:
+    _svmlight_lines(df, label_col, entries_col).write.mode("overwrite").text(path)
 
 
 def generate_gvsb(
@@ -152,6 +194,8 @@ def generate_gvsb(
     pos_min_df: int = 25,
     pos_max_features: int = 4000,
     pos_vec_type: str = "count",
+    word_min_df: int = 25,
+    word_max_features: int = 0,
 ) -> dict:
     """The generate_dataset_gvsb.py entry point (defaults match its CLI)."""
     data = rants_csv.load_fuman_gvb(spark, source_dir)
@@ -159,14 +203,15 @@ def generate_gvsb(
         data,
         type_ngram, type_min_df, type_max_features,
         pos_ngram, pos_min_df, pos_max_features, pos_vec_type,
+        word_min_df, word_max_features,
     )
     matrix = splits.stratified_assign(matrix, "target", n_folds, order_col="doc_id")
     written = []
     for i in range(min(n_folds, n_folds_max)):
         fold_path = f"{output_dir}/gvsb-fold-{i + 1}"
-        matrix.filter(F.col("fold") == i).select(
-            F.col("target").cast("double").alias("label"), "features"
-        ).write.mode("overwrite").format("libsvm").save(fold_path)
+        write_svmlight_entries(
+            matrix.filter(F.col("fold") == i), fold_path, label_col="target"
+        )
         written.append(fold_path)
     sinks.save_features_json(f"{output_dir}/vocabulary.json", header)
     sinks.save_dataset_metadata(
@@ -178,6 +223,7 @@ def generate_gvsb(
             "type": {"ngram": type_ngram, "min_df": type_min_df, "max_features": type_max_features},
             "pos": {"ngram": pos_ngram, "min_df": pos_min_df, "max_features": pos_max_features,
                     "vec_type": pos_vec_type},
+            "word": {"min_df": word_min_df, "max_features": word_max_features},
             "n_features": len(header),
         },
     )
@@ -191,10 +237,13 @@ def generate_price(
     n_folds: int = 1,
     pos_min_df: int = 10,
     pos_max_features: int = 1000,
+    word_min_df: int = 25,
+    word_max_features: int = 0,
     **kwargs,
 ) -> dict:
     """The generate_dataset_price.py entry point: price target + userprofile
-    block (profile categoricals one-hot like DictVectorizer) + text blocks."""
+    block (profile categoricals one-hot like DictVectorizer) + text blocks
+    (incl. the optional rant_bow word TF-IDF, --word-max-features)."""
     data = rants_csv.load_fuman_userprofile(spark, source_path, target="price")
     # DictVectorizer semantics on the profile: numeric fields pass through,
     # string categoricals one-hot with 'field=value' names, alpha-sorted
@@ -224,18 +273,21 @@ def generate_price(
         flat,
         pos_min_df=pos_min_df,
         pos_max_features=pos_max_features,
+        word_min_df=word_min_df,
+        word_max_features=word_max_features,
         **kwargs,
     )
-    from pyspark.ml.feature import VectorAssembler
-
-    full = VectorAssembler(
-        inputCols=[f"{n}" for n in onehot_names] + ["features"], outputCol="all_features"
-    ).transform(matrix)
+    # profile block first: its entries occupy [0, len(onehot_names)), the
+    # text blocks shift up — an index-shifted JVM concat, no assembler
+    full = matrix.withColumn(
+        "features_entries",
+        F.concat(
+            _numeric_cols_entries(onehot_names),
+            _shift_entries(F.col("features_entries"), len(onehot_names)),
+        ),
+    )
     header = onehot_names + header
     out_path = f"{output_dir}/price-fold-1"
-    full.select(
-        F.col("target").cast("double").alias("label"),
-        F.col("all_features").alias("features"),
-    ).write.mode("overwrite").format("libsvm").save(out_path)
+    write_svmlight_entries(full, out_path, label_col="target")
     sinks.save_features_json(f"{output_dir}/vocabulary.json", header)
     return {"folds": [out_path], "n_features": len(header)}

@@ -41,6 +41,7 @@ def gvsb_dir(tmp_path_factory):
 CFG = dict(
     type_ngram=3, type_min_df=5, type_max_features=50,
     pos_ngram=2, pos_min_df=5, pos_max_features=100,
+    word_min_df=3, word_max_features=40,  # the reference's rant_bow block ON
 )
 
 
@@ -68,9 +69,16 @@ def test_gvsb_end_to_end_matches_golden(spark, gvsb_dir, tmp_path):
         texts, lambda s: tc.tokenize_pos(s), ngram_range=(1, 2), min_df=5, max_features=100
     )
     pos_X = golden.transform_counts(texts, pos_vocab, lambda s: tc.tokenize_pos(s), (1, 2))
-    want = np.hstack([stats, type_X, pos_X])
+    # rant_bow: word-token TF-IDF (generate_dataset_price.py:124-130)
+    word_vocab = golden.fit_vocabulary(
+        texts, tc.tokenize_rant, ngram_range=(1, 1), min_df=3, max_features=40
+    )
+    word_idf = golden.idf_vector(texts, word_vocab, tc.tokenize_rant, (1, 1))
+    word_X = golden.transform_tfidf(texts, word_vocab, word_idf, tc.tokenize_rant, (1, 1))
+    want = np.hstack([stats, type_X, pos_X, word_X])
     assert header[19 : 19 + len(type_vocab)] == type_vocab
-    assert header[19 + len(type_vocab) :] == pos_vocab
+    assert header[19 + len(type_vocab) : 19 + len(type_vocab) + len(pos_vocab)] == pos_vocab
+    assert header[19 + len(type_vocab) + len(pos_vocab) :] == word_vocab
 
     got_rows = []
     for fold in res["folds"]:
@@ -116,3 +124,30 @@ def test_price_end_to_end_runs(spark, gvsb_dir, tmp_path):
     onehots = [h for h in header if "=" in h or h in ("empathies", "birthyear")]
     assert onehots == sorted(onehots)
     assert "gender=male" in header
+
+
+def test_generate_plan_has_no_row_python_udf(spark, gvsb_dir):
+    """The dataset-assembly plan must contain zero row-at-a-time Python
+    (BatchEvalPython); the only Python stages are Arrow-vectorized
+    (ArrowEvalPython: analyzer + rant-stats UDFs)."""
+    from py_evalfilter_spark.sources import rants_csv
+
+    src, _ = gvsb_dir
+    data = rants_csv.load_fuman_gvb(spark, src)
+    matrix, header = generate_dataset.build_feature_matrix(data, **CFG)
+    lines = generate_dataset._svmlight_lines(matrix, label_col="target")
+    plan = lines._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" in plan
+
+
+def test_svmlight_line_format(spark):
+    import pandas as pd
+
+    pdf = pd.DataFrame({"target": [1], "rant": ["dummy"]})
+    df = spark.createDataFrame(pdf).selectExpr(
+        "target",
+        f"CAST(array(struct(0 AS index, 2.5 AS value), struct(3 AS index, 1.0 AS value)) AS {generate_dataset.ENTRY_TYPE}) AS features_entries",
+    )
+    lines = generate_dataset._svmlight_lines(df, "target").collect()
+    assert lines[0]["value"] == "1.0 1:2.5 4:1.0"
