@@ -514,15 +514,31 @@ def embedding_neardup_pairs(
     threshold: float = 0.95,
     n_planes: int = 16,
     seed: int = 42,
+    target_bucket_rows: int | None = None,
 ) -> DataFrame:
     """Cosine >= threshold pairs via random-hyperplane bucket blocking +
-    exact verify (JVM-side dot products)."""
+    exact verify (JVM-side dot products).
+
+    ``target_bucket_rows`` scales the blocking with the corpus instead of a
+    fixed bucket count: n_planes becomes
+    max(n_planes, ceil(log2(n / target_bucket_rows))) (capped at 30), so the
+    expected bucket occupancy stays ~target and the within-bucket self-join
+    cannot go quadratic as the corpus grows 100x.  Fixed ``n_planes`` alone
+    is a scale hazard: 2^12 buckets over 10^9 rows → ~244k rows/bucket →
+    ~3·10^10 candidate pairs per bucket."""
+    import math
+
     from .similarity import with_hyperplane_bucket, cosine_expr
 
     d = df.select(
         F.col(id_col).alias("doc_id"),
         F.transform(vec_col, lambda x: x.cast("double")).alias("vec"),
     )
+    if target_bucket_rows:
+        n = df.count()
+        n_planes = max(
+            n_planes, min(30, math.ceil(math.log2(max(n / target_bucket_rows, 1.0))))
+        )
     b = with_hyperplane_bucket(d, "vec", n_planes=n_planes, seed=seed)
     l = b.alias("l")
     rt = b.alias("r")

@@ -109,39 +109,60 @@ def ivf_topk(
     n_centroids: int = 16,
     nprobe: int = 4,
     seed: int = 42,
+    fit_fraction: float | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) ANN: k-means partitions the corpus into
     ``n_centroids`` cells; each query probes its ``nprobe`` nearest cells and
     exact-re-ranks only those candidates (candidate fraction ≈ nprobe/n_centroids).
 
-    Physical shape: KMeans fit is Spark ML (seeded, deterministic); cell
-    assignment is one model.transform pass stored WITH the data (at scale the
-    assignment is precomputed once and persisted as a partition column, so a
-    query touches only nprobe partitions — classic IVF pruning); the query→
-    cell probe list is computed driver-side on the tiny centroid matrix.
+    Physical shape (no driver-side collection of either side):
+      * KMeans fit is Spark ML (seeded, deterministic); ``fit_fraction``
+        fits on a seeded Bernoulli sample — at corpus scale centroids from
+        a ~1% sample are statistically equivalent and the fit stops being
+        a full-corpus job.  Full-probe exactness is independent of the
+        centroids, so correctness gates hold for any fit sample;
+      * cell assignment is one model.transform pass stored WITH the data
+        (at scale the assignment is precomputed once and persisted as a
+        partition column, so a query touches only nprobe partitions —
+        classic IVF pruning);
+      * the query→cell probe list is a crossJoin of the query frame with
+        the broadcast ``n_centroids``-row centroid table, cosine scored
+        JVM-side, top-nprobe per query (window partitioned by qid) —
+        queries never leave the cluster.
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
     d = _as_double_vec(data, id_col, vec_col)
     dm = d.withColumn("fvec", array_to_vector("vec"))
+    fit_df = dm.sample(fraction=fit_fraction, seed=seed) if fit_fraction else dm
     km = KMeans(k=n_centroids, seed=seed, featuresCol="fvec", predictionCol="cell")
-    model = km.fit(dm)
+    model = km.fit(fit_df)
     assigned = model.transform(dm).select("vec_id", "vec", "cell")
 
-    centroids = np.stack([np.asarray(c, dtype="float64") for c in model.clusterCenters()])
-    q = _as_double_vec(queries, id_col, vec_col)
-    q_rows = q.collect()  # query set is small by contract (broadcast side)
-    cn = centroids / np.maximum(np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12)
-    probe_rows = []
-    for r in q_rows:
-        qv = np.asarray(r["vec"], dtype="float64")
-        qn = qv / max(np.linalg.norm(qv), 1e-12)
-        cells = np.argsort(-(cn @ qn))[:nprobe]
-        for c in cells:
-            probe_rows.append((r["vec_id"], int(c)))
+    # tiny (n_centroids-row) table, broadcast to every query partition
     spark = data.sparkSession
-    probes = spark.createDataFrame(probe_rows, ["qid", "cell"])
+    cent_rows = [
+        (int(i), [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+    ]
+    cents = spark.createDataFrame(cent_rows, ["cell", "cvec"])
+    q = _as_double_vec(queries, id_col, vec_col)
+    qdf = q.select(F.col("vec_id").alias("qid"), F.col("vec").alias("qvec"))
+    # zero-norm guard mirrors the normalized-centroid math (norm floor 1e-12)
+    dot = F.aggregate(
+        F.zip_with("qvec", "cvec", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    nq = F.sqrt(F.aggregate("qvec", F.lit(0.0), lambda acc, x: acc + x * x))
+    nc = F.sqrt(F.aggregate("cvec", F.lit(0.0), lambda acc, x: acc + x * x))
+    csim = dot / (F.greatest(nq, F.lit(1e-12)) * F.greatest(nc, F.lit(1e-12)))
+    wprobe = Window.partitionBy("qid").orderBy(F.col("csim").desc(), F.col("cell"))
+    probes = (
+        qdf.crossJoin(F.broadcast(cents))
+        .select("qid", "cell", csim.alias("csim"))
+        .withColumn("pr", F.row_number().over(wprobe))
+        .filter(F.col("pr") <= nprobe)
+        .select("qid", "cell")
+    )
 
     cands = (
         F.broadcast(probes)
@@ -149,7 +170,6 @@ def ivf_topk(
         .filter(F.col("vec_id") != F.col("qid"))
         .select("qid", "vec_id", "vec")
     )
-    qdf = q.select(F.col("vec_id").alias("qid"), F.col("vec").alias("qvec"))
     scored = cands.join(F.broadcast(qdf), "qid").select(
         "qid",
         F.col("vec_id").alias("nid"),

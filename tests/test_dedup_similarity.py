@@ -290,3 +290,56 @@ class TestHashAndRatioPrimitives:
             partition_col="source", ratio_mode="fuzz",
         ).toPandas()
         assert sorted(out["doc_id"].tolist()) == [1, 3]
+
+
+class TestAnnScaleHardening:
+    def test_ivf_sampled_fit_fullprobe_still_exact(self, spark):
+        """Full probe must equal brute force REGARDLESS of which sample the
+        KMeans centroids were fitted on (correctness is centroid-independent
+        at nprobe = n_centroids) — the scale path fits on a seeded sample."""
+        emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+        q = emb.filter(F.col("vec_id") < 3)
+        bf = similarity.brute_force_topk(emb, q, k=5).toPandas()
+        ivf = similarity.ivf_topk(
+            emb, q, k=5, n_centroids=8, nprobe=8, fit_fraction=0.3
+        ).toPandas()
+        cols = ["qid", "nid", "sim", "rank"]
+        a = bf[cols].sort_values(cols).reset_index(drop=True)
+        b = ivf[cols].sort_values(cols).reset_index(drop=True)
+        assert a.equals(b)
+
+    def test_ivf_probe_selection_is_plan_side(self, spark):
+        """The probe list must be computed as DataFrame ops (broadcast
+        centroid table + window), never by collecting the query set."""
+        emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+        q = emb.filter(F.col("vec_id") < 3)
+        import unittest.mock as mock
+
+        from pyspark.sql import DataFrame
+
+        real_collect = DataFrame.collect
+
+        def guarded(self):
+            raise AssertionError("ivf_topk collected a DataFrame driver-side")
+
+        with mock.patch.object(DataFrame, "collect", guarded):
+            out = similarity.ivf_topk(emb, q, k=5, n_centroids=8, nprobe=2)
+        # plan construction did not collect; executing it now works
+        assert out.count() > 0
+
+    def test_embedding_neardup_scales_planes_with_corpus(self, spark):
+        emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+        dups = emb.filter(F.col("vec_id") % 53 == 0).withColumn(
+            "vec_id", F.col("vec_id") + 1_000_000
+        )
+        corpus = emb.unionByName(dups)
+        fixed = dedup.embedding_neardup_pairs(
+            corpus, "vec_id", "embedding", threshold=0.999, n_planes=4
+        ).toPandas()
+        scaled = dedup.embedding_neardup_pairs(
+            corpus, "vec_id", "embedding", threshold=0.999, n_planes=4,
+            target_bucket_rows=8,
+        ).toPandas()
+        # identical injected vectors share every bucket at any plane count:
+        # the scaled blocking must keep all exact-dup pairs
+        assert len(scaled) == len(fixed) == 10
