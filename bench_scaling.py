@@ -82,13 +82,23 @@ print(json.dumps({{"rows": n_rows, "pipeline": pipeline, "map_stage": map_stage,
 """
 
 
-def run_level(cpus: int) -> dict:
+def run_level(cpus: int, master: str | None = None) -> dict:
     env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus), SPARK_GRAFT_SF_DIR=SF_DIR)
+    if master:
+        # real executor boundary: each worker is its own JVM process, shuffle
+        # crosses processes through netty block transfer + local dirs — the
+        # same data path as a standalone cluster, minus the physical NIC
+        env["SPARK_GRAFT_MASTER"] = master
+        env["SPARK_GRAFT_EXECUTOR_MEMORY"] = os.environ.get(
+            "SPARK_GRAFT_EXECUTOR_MEMORY", "20g"
+        )
+        env["SPARK_LOCAL_DIRS"] = "/dev/shm/spark-local"
+        env["SPARK_DRIVER_MEMORY"] = "8g"
     code = RUNNER.format(repo=REPO, sf_dir=SF_DIR, mult=MULTIPLIER, repeats=REPEATS)
     out = subprocess.run([sys.executable, "-c", code], env=env, capture_output=True, text=True)
     if out.returncode != 0:
         sys.stderr.write(out.stderr[-4000:])
-        raise SystemExit(f"runner failed at local[{cpus}]")
+        raise SystemExit(f"runner failed at {master or f'local[{cpus}]'}")
     return json.loads(out.stdout.strip().splitlines()[-1])
 
 
@@ -100,20 +110,36 @@ def _burn(n: int) -> int:
 
 
 def hardware_ceiling() -> float:
-    """Pure-CPU scaling ceiling of this VM (8 → 32 python processes)."""
+    """Pure-CPU scaling ceiling of this VM (8 → 32 python processes).
+
+    Measured BEFORE any Spark JVM starts and taken as the best of 3
+    (a capacity, so max is right): residual load — e.g. executor-JVM
+    shutdown churn — can depress a single sample by 2x and make the
+    normalization nonsense."""
     import multiprocessing as mp
 
-    walls = {}
-    for procs in (8, 32):
-        with mp.Pool(procs) as pool:
-            t0 = time.perf_counter()
-            pool.map(_burn, [3_000_000] * 128)
-            walls[procs] = time.perf_counter() - t0
-    return round((walls[8] / walls[32]) / 4.0, 3)
+    best = 0.0
+    for _ in range(3):
+        walls = {}
+        for procs in (8, 32):
+            with mp.Pool(procs) as pool:
+                t0 = time.perf_counter()
+                pool.map(_burn, [3_000_000] * 128)
+                walls[procs] = time.perf_counter() - t0
+        best = max(best, (walls[8] / walls[32]) / 4.0)
+        time.sleep(2)
+    return round(best, 3)
 
 
 def main() -> None:
     levels: dict[int, dict] = {}
+    cluster_levels: dict[int, dict] = {}
+    cluster_specs = {
+        1: "local-cluster[1,8,22528]",  # N  = 1 executor JVM x 8 cores
+        4: "local-cluster[4,8,22528]",  # 4N = 4 executor JVMs x 8 cores
+    }
+    do_cluster = os.environ.get("SCALING_CLUSTER", "1") == "1"
+    ceiling = hardware_ceiling()  # BEFORE any JVM: an idle-box capacity
     # interleave levels across fresh JVMs; keep the best JVM per level
     # (occasional JVMs on this VM land in a degraded state, 3-7x slower)
     for _ in range(JVMS_PER_LEVEL):
@@ -126,8 +152,17 @@ def main() -> None:
                 for key in ("pipeline", "map_stage", "shuffle"):
                     cur[key] = min(cur[key], r[key])
             print(f"local[{cpus}]: {r}")
+        if do_cluster:
+            for nw, master in cluster_specs.items():
+                r = run_level(nw * 8, master=master)
+                cur = cluster_levels.get(nw)
+                if cur is None:
+                    cluster_levels[nw] = r
+                else:
+                    for key in ("pipeline", "map_stage", "shuffle"):
+                        cur[key] = min(cur[key], r[key])
+                print(f"{master}: {r}")
     rows = levels[8]["rows"]
-    ceiling = hardware_ceiling()
 
     def eff(key: str) -> float:
         return round((levels[8][key] / levels[32][key]) / 4.0, 3)
@@ -147,6 +182,21 @@ def main() -> None:
         "map_stage_normalized": round(eff("map_stage") / ceiling, 3) if ceiling else None,
         "pipeline_normalized": round(eff("pipeline") / ceiling, 3) if ceiling else None,
     }
+    if cluster_levels:
+        def ceff(key: str) -> float:
+            return round((cluster_levels[1][key] / cluster_levels[4][key]) / 4.0, 3)
+
+        result.update(
+            {
+                "cluster_N": "local-cluster[1,8] (1 executor JVM, 8 cores)",
+                "cluster_4N": "local-cluster[4,8] (4 executor JVMs, 32 cores)",
+                "cluster_pipeline_thr_N": round(rows / cluster_levels[1]["pipeline"], 1),
+                "cluster_pipeline_thr_4N": round(rows / cluster_levels[4]["pipeline"], 1),
+                "cluster_pipeline_efficiency": ceff("pipeline"),
+                "cluster_map_stage_efficiency": ceff("map_stage"),
+                "cluster_shuffle_efficiency": ceff("shuffle"),
+            }
+        )
     print(json.dumps(result))
 
     os.makedirs(f"{REPO}/BENCH", exist_ok=True)
@@ -180,6 +230,20 @@ def main() -> None:
             f"{levels[32]['shuffle']} | {result['shuffle_efficiency']} | "
             f"single-box memory-bus bound |\n"
         )
+        if cluster_levels:
+            fp.write(
+                f"| full pipeline, REAL executor boundary (local-cluster 1x8 -> 4x8 JVMs) | {rows} | "
+                f"{cluster_levels[1]['pipeline']} | {cluster_levels[4]['pipeline']} | "
+                f"{result['cluster_pipeline_efficiency']} | "
+                f"{result['cluster_pipeline_thr_4N']} turns/s @4 executors; "
+                f"multi-process netty shuffle, not threads |\n"
+                f"| map stage, real executor boundary | {rows} | "
+                f"{cluster_levels[1]['map_stage']} | {cluster_levels[4]['map_stage']} | "
+                f"{result['cluster_map_stage_efficiency']} |  |\n"
+                f"| pure shuffle, real executor boundary | {rows} | "
+                f"{cluster_levels[1]['shuffle']} | {cluster_levels[4]['shuffle']} | "
+                f"{result['cluster_shuffle_efficiency']} | still one memory bus under all 4 JVMs |\n"
+            )
 
 
 if __name__ == "__main__":

@@ -78,7 +78,11 @@ def fuzzy_window_pairs(
 ) -> DataFrame:
     """Reference-shaped near-dup scan: each row vs the next ``lookahead`` rows
     in ``order_col`` order, Levenshtein similarity ratio > threshold.
-    ``ratio_mode``: see :func:`_ratio_col` ('fuzz' = reference formula)."""
+    ``ratio_mode``: see :func:`_ratio_col` ('fuzz' = reference formula).
+
+    Scale note: pass ``partition_col`` (the reference scans per source
+    file).  ``partition_col=None`` reproduces a single global ordered scan —
+    inherently one partition, kept only for exact small-input parity."""
     w = (
         Window.partitionBy(partition_col).orderBy(order_col)
         if partition_col

@@ -10,8 +10,13 @@ rows-only here and allclose-verified against the golden pipeline in pytest.
 Conventions (driver compare = row-count + schema + column-name-sorted
 value hash):
   * every computed column is aliased identically on both sides;
-  * doubles that aggregate are ROUND()ed on both sides (4 decimals) so JVM
-    vs DuckDB summation-order ulps can't flip the hash;
+  * money/value SUMs accumulate in exact integer units (cents /
+    basis-points via ROUND(x*100) per row, which is exact for the
+    2-decimal inputs) and convert to dollars AFTER the sum — plain
+    ROUND(SUM(double)) is ulp-unstable between JVM and DuckDB summation
+    orders and red-flagged topk_per_group in round 1;
+  * other aggregated doubles are ROUND()ed on both sides (4 decimals);
+  * rank/window keys order on integer or rounded-stable values only;
   * timestamps leave result sets as epoch-second BIGINTs (`*_ep`) — no
     engine-specific timestamp serialization in the hash.
 """
@@ -1195,12 +1200,52 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Language-ID heuristic over documents (rows-only; accuracy pinned on
-    multilingual fixtures in pytest — the driver's lang column is synthetic)."""
+    """Language-ID heuristic over documents.  The marker-scoring heuristic
+    (textanalysis._detect_lang) is fully re-expressed in the DuckDB oracle:
+    whitespace-token marker hits + 3x distinctive-char hits per language,
+    CJK-ratio zh gate, alphabetical tie-break, zero-score → 'und'.
+    Accuracy on multilingual fixtures is separately pinned in pytest (the
+    driver's lang column is synthetic)."""
     from ..functions import textanalysis
 
     docs = _read(spark, sf_dir, "documents")
     return textanalysis.with_langid(docs).select("doc_id", "lang_pred")
+
+
+SQL_LANGID = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS tok
+  FROM documents
+),
+hits AS (
+  SELECT doc_id,
+         SUM(CASE WHEN tok IN ('the','and','of','to','is','in','that','with','for','it') THEN 1 ELSE 0 END) AS wh_en,
+         SUM(CASE WHEN tok IN ('der','die','das','und','ist','nicht','ein','mit','für','von') THEN 1 ELSE 0 END) AS wh_de,
+         SUM(CASE WHEN tok IN ('le','la','les','et','est','un','une','des','dans','pour') THEN 1 ELSE 0 END) AS wh_fr,
+         SUM(CASE WHEN tok IN ('el','la','los','las','es','un','una','que','por','para') THEN 1 ELSE 0 END) AS wh_es
+  FROM toks GROUP BY doc_id
+),
+scored AS (
+  SELECT d.doc_id,
+         d.text,
+         length(regexp_replace(d.text, '[^\x{4e00}-\x{9fff}]', '', 'g')) AS cjk,
+         length(d.text) AS n,
+         COALESCE(h.wh_en, 0) AS s_en,
+         COALESCE(h.wh_de, 0) + 3 * length(regexp_replace(d.text, '[^äöüß]', '', 'g')) AS s_de,
+         COALESCE(h.wh_fr, 0) + 3 * length(regexp_replace(d.text, '[^éèêàçù]', '', 'g')) AS s_fr,
+         COALESCE(h.wh_es, 0) + 3 * length(regexp_replace(d.text, '[^ñ¿¡áíóú]', '', 'g')) AS s_es
+  FROM documents d LEFT JOIN hits h USING (doc_id)
+)
+SELECT doc_id,
+       CASE WHEN text IS NULL OR trim(text) = '' THEN 'und'
+            WHEN cjk * 1.0 / GREATEST(n, 1) > 0.2 THEN 'zh'
+            WHEN GREATEST(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+            WHEN s_de = GREATEST(s_de, s_en, s_es, s_fr) THEN 'de'
+            WHEN s_en = GREATEST(s_de, s_en, s_es, s_fr) THEN 'en'
+            WHEN s_es = GREATEST(s_de, s_en, s_es, s_fr) THEN 'es'
+            ELSE 'fr' END AS lang_pred
+FROM scored
+"""
 
 
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1384,8 +1429,9 @@ ORACLES: dict[str, str] = {
     "dedup_minhash": SQL_DEDUP_MINHASH,
     "embedding_neardup": SQL_EMBEDDING_NEARDUP,
     "ann_ivf_fullprobe": SQL_KNN_COSINE,  # full probe ≡ exact brute force
-    # rows-only (Arrow-UDF tokenizers / banded-LSH internals not expressible
-    # in ANSI SQL; allclose- or recall-tested in pytest): rant_stats_features,
-    # vectorize_type_ngrams, vectorize_pos_tfidf, dedup_simhash, ann_lsh,
-    # ann_ivf, dedup_reference_chain, langid, fingerprint
+    "langid": SQL_LANGID,
+    # rows-only (Arrow-UDF tokenizers / banded-LSH internals / crc32 not
+    # expressible in ANSI SQL; allclose- or recall-tested in pytest):
+    # rant_stats_features, vectorize_type_ngrams, vectorize_pos_tfidf,
+    # dedup_simhash, ann_lsh, ann_ivf, dedup_reference_chain, fingerprint
 }

@@ -17,7 +17,10 @@ def get_spark(
     shuffle_partitions: int | None = None,
 ) -> SparkSession:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
-    master = master or f"local[{cpus}]"
+    # SPARK_GRAFT_MASTER overrides the local[N] default — e.g.
+    # local-cluster[4,8,22528] for multi-executor-JVM measurements where the
+    # executor boundary (process isolation + netty shuffle) is real
+    master = master or os.environ.get("SPARK_GRAFT_MASTER") or f"local[{cpus}]"
     if shuffle_partitions is None:
         n = os.cpu_count() or 8
         shuffle_partitions = n if cpus == "*" else max(int(cpus), 1)
@@ -41,6 +44,28 @@ def get_spark(
         .config("spark.speculation.multiplier", "4")
         .config("spark.speculation.quantile", "0.9")
     )
+    exec_mem = os.environ.get("SPARK_GRAFT_EXECUTOR_MEMORY")
+    if exec_mem:
+        builder = builder.config("spark.executor.memory", exec_mem)
+    if master.startswith("local-cluster"):
+        # don't start timing against a partially-registered cluster
+        builder = builder.config(
+            "spark.scheduler.minRegisteredResourcesRatio", "1.0"
+        ).config("spark.scheduler.maxRegisteredResourcesWaitingTime", "60s")
+        # executor JVMs are separate processes: their Python workers need the
+        # package on PYTHONPATH (a real cluster ships it via --py-files;
+        # scripts/submit_job.py does exactly that)
+        repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        builder = builder.config("spark.executorEnv.PYTHONPATH", repo_root)
+        # each executor JVM must size its GC/JIT/netty pools for ITS cores,
+        # not the whole box — exactly what a real cluster node would see
+        try:
+            cores = master.split("[")[1].split(",")[1].strip()
+            builder = builder.config(
+                "spark.executor.extraJavaOptions", f"-XX:ActiveProcessorCount={int(cores)}"
+            )
+        except (IndexError, ValueError):
+            pass
     # local-mode shuffle through the overlay FS anti-scales with thread count
     # (measured 2.5x slower at local[32] than local[8]); tmpfs fixes it.
     # Real clusters use executor-local disks — this is a local-mode knob only.
