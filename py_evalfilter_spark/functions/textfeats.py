@@ -92,11 +92,18 @@ def tokenize_token_type_udf(s: pd.Series) -> pd.Series:
     return s.map(lambda x: tc.tokenize_token_type(x) if isinstance(x, str) else [])
 
 
-def analyzer_udf(tokenizer_name: str, ngram_range: tuple[int, int]):
-    """sklearn-parity analyzer (preprocess → tokenize → ngrams) as a pandas UDF.
+def analyzer_udf(
+    tokenizer_name: str,
+    ngram_range: tuple[int, int],
+    stop_words: frozenset | None = None,
+):
+    """sklearn-parity analyzer (preprocess → tokenize → stopwords → ngrams)
+    as a pandas UDF.
 
     ``tokenizer_name`` ∈ {'rant','pos','token_type'} — the three tokenizers
-    the reference ships (SURVEY.md §2.10).
+    the reference ships (SURVEY.md §2.10).  ``stop_words``: e.g.
+    ``textcore.STOPWORDS_JA`` (the reference's shipped list, analysis.py:8-13
+    — dormant in its entry points but part of the vectorizer surface).
     """
     tokenizers = {
         "rant": tc.tokenize_rant,
@@ -105,9 +112,12 @@ def analyzer_udf(tokenizer_name: str, ngram_range: tuple[int, int]):
     }
     tok = tokenizers[tokenizer_name]
     lo, hi = ngram_range
+    sw = frozenset(stop_words) if stop_words else None
 
     @F.pandas_udf(T.ArrayType(T.StringType()))
     def _analyze(s: pd.Series) -> pd.Series:
-        return s.map(lambda x: tc.analyze(x, tok, (lo, hi)) if isinstance(x, str) else [])
+        return s.map(
+            lambda x: tc.analyze(x, tok, (lo, hi), sw) if isinstance(x, str) else []
+        )
 
     return _analyze

@@ -35,8 +35,15 @@ from pyspark.sql import functions as F
 from ..functions.textfeats import analyzer_udf
 
 
-def _terms(df: DataFrame, text_col: str, id_cols: list[str], tokenizer: str, ngram_range):
-    ana = analyzer_udf(tokenizer, ngram_range)
+def _terms(
+    df: DataFrame,
+    text_col: str,
+    id_cols: list[str],
+    tokenizer: str,
+    ngram_range,
+    stop_words=None,
+):
+    ana = analyzer_udf(tokenizer, ngram_range, stop_words)
     return df.select(*id_cols, F.explode(ana(F.col(text_col))).alias("term"))
 
 
@@ -47,13 +54,16 @@ def terms_df(
     tokenizer: str = "rant",
     ngram_range: tuple[int, int] = (1, 1),
     cache: bool = True,
+    stop_words: frozenset | None = None,
 ) -> DataFrame:
     """Tokenize ONCE into an exploded (id..., term) frame shared by fit and
     transform — the tokenize-once discipline that fixes the reference's
     repeated re-tokenization (SURVEY.md §4.1: every sklearn vectorizer
     re-ran MeCab over the full corpus; fit_transform tokenized twice more).
     Pass the result as ``terms`` to fit_vocabulary/transform_counts."""
-    out = _terms(df, text_col, id_cols or ["conv_id", "turn_idx"], tokenizer, ngram_range)
+    out = _terms(
+        df, text_col, id_cols or ["conv_id", "turn_idx"], tokenizer, ngram_range, stop_words
+    )
     return out.cache() if cache else out
 
 
@@ -115,6 +125,7 @@ def fit_vocabulary(
     cutoff_ts=None,
     ts_col: str = "ts",
     terms: DataFrame | None = None,
+    stop_words: frozenset | None = None,
 ) -> DataFrame:
     """Fit → DataFrame(term, tf, docfreq, index) with lexicographic index.
 
@@ -148,9 +159,9 @@ def fit_vocabulary(
         # count scan of the fit frame
         obs = Observation("fit_n_docs")
         fit_df = fit_df.observe(obs, F.count(F.lit(1)).alias("n"))
-        terms = _terms(fit_df, text_col, id_cols, tokenizer, ngram_range).withColumn(
-            "doc", doc_key
-        )
+        terms = _terms(
+            fit_df, text_col, id_cols, tokenizer, ngram_range, stop_words
+        ).withColumn("doc", doc_key)
     stats = terms.groupBy("term").agg(
         F.count(F.lit(1)).alias("tf"), F.countDistinct("doc").alias("docfreq")
     )
@@ -184,6 +195,7 @@ def transform_counts(
     ngram_range: tuple[int, int] = (1, 1),
     tfidf: bool = False,
     terms: DataFrame | None = None,
+    stop_words: frozenset | None = None,
 ) -> DataFrame:
     """Transform → long-format (id_cols..., index, value) sparse matrix.
 
@@ -194,7 +206,7 @@ def transform_counts(
     """
     id_cols = id_cols or ["conv_id", "turn_idx"]
     if terms is None:
-        terms = _terms(df, text_col, id_cols, tokenizer, ngram_range)
+        terms = _terms(df, text_col, id_cols, tokenizer, ngram_range, stop_words)
     vocab = F.broadcast(vocabulary.select("term", "index", "idf"))
     counts = (
         terms.join(vocab, "term")

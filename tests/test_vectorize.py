@@ -113,3 +113,30 @@ class TestVectorizeSpark:
             vectorize.fit_vocabulary(sdf2, tokenizer="rant", ngram_range=(1, 1), min_df=1, max_features=2)
         )
         assert got_top1 == ["aa", "bb"]  # tf desc, term asc tie-break
+
+
+def test_fit_vocabulary_stop_words(spark):
+    """stop_words threads through analyzer_udf → fit/transform (the
+    reference's STOPWORDS surface, analysis.py:8-13)."""
+    import pandas as pd
+
+    from py_evalfilter_spark import textcore as tc
+    from py_evalfilter_spark.operators import vectorize
+
+    pdf = pd.DataFrame(
+        {
+            "conv_id": ["a", "b", "c"],
+            "turn_idx": pd.array([0, 0, 0], dtype="int32"),
+            # これ/for/etc are in STOPWORDS_JA and accent-stable under the
+            # analyzer's sklearn strip_accents preprocessing (which runs
+            # BEFORE the stopword cut, so e.g. です→てす would NOT match)
+            "text": ["これ test for data", "test data etc これ", "data for test"],
+        }
+    )
+    sdf = spark.createDataFrame(pdf)
+    vocab = vectorize.fit_vocabulary(sdf, min_df=1, stop_words=tc.STOPWORDS_JA)
+    terms = vectorize.vocabulary_to_list(vocab)
+    assert "これ" not in terms and "for" not in terms and "etc" not in terms
+    assert "test" in terms and "data" in terms
+    out = vectorize.transform_counts(sdf, vocab, stop_words=tc.STOPWORDS_JA).toPandas()
+    assert len(out) > 0
