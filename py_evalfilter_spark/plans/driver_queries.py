@@ -584,6 +584,44 @@ ASOF LEFT JOIN profile p ON t.conv_id = p.conv_id AND t.ts >= p.ts
 """
 
 
+def q_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 with staleness bound: matches older than 3600s are nulled WHOLE
+    (the struct-fill guarantee — profile_ts and purchase_value null
+    together).  DuckDB oracle: ASOF JOIN + CASE on the same staleness cut
+    (merge_asof tolerance semantics: a too-old match is dropped, never
+    replaced by an older or newer row)."""
+    t = transcripts_df(spark, sf_dir)
+    p = profile_df(spark, sf_dir)
+    out = asof_op.asof_join_union_window(
+        t, p, on="ts", by="conv_id", right_ts_alias="profile_ts", tolerance_s=3600
+    )
+    return out.select(
+        "conv_id",
+        "turn_idx",
+        F.col("ts").cast("timestamp").cast("long").alias("ts_ep"),
+        F.col("profile_ts").cast("timestamp").cast("long").alias("profile_ts_ep"),
+        "purchase_value",
+    )
+
+
+SQL_ASOF_TOLERANCE = f"""
+WITH {TRANSCRIPTS_CTE.strip()},
+{PROFILE_CTE.strip()},
+matched AS (
+  SELECT t.conv_id, t.turn_idx,
+         CAST(FLOOR(epoch(t.ts)) AS BIGINT) AS ts_ep,
+         CAST(FLOOR(epoch(p.ts)) AS BIGINT) AS profile_ts_ep,
+         p.purchase_value
+  FROM transcripts t
+  ASOF LEFT JOIN profile p ON t.conv_id = p.conv_id AND t.ts >= p.ts
+)
+SELECT conv_id, turn_idx, ts_ep,
+       CASE WHEN ts_ep - profile_ts_ep <= 3600 THEN profile_ts_ep END AS profile_ts_ep,
+       CASE WHEN ts_ep - profile_ts_ep <= 3600 THEN purchase_value END AS purchase_value
+FROM matched
+"""
+
+
 # ---------------------------------------------------------------------------
 # dedup / text-analysis / splits / similarity (training-data pipeline ops)
 # ---------------------------------------------------------------------------
@@ -1361,6 +1399,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "topk_per_group": q_topk_per_group,
     "percentiles": q_percentiles,
     "asof_join": q_asof_join,
+    "asof_tolerance": q_asof_tolerance,
     "decode_profile": q_decode_profile,
     "label_encode": q_label_encode,
     "one_hot": q_one_hot,
@@ -1409,6 +1448,7 @@ ORACLES: dict[str, str] = {
     "topk_per_group": SQL_TOPK_PER_GROUP,
     "percentiles": SQL_PERCENTILES,
     "asof_join": SQL_ASOF_JOIN,
+    "asof_tolerance": SQL_ASOF_TOLERANCE,
     "decode_profile": SQL_DECODE_PROFILE,
     "label_encode": SQL_LABEL_ENCODE,
     "one_hot": SQL_ONE_HOT,

@@ -81,3 +81,67 @@ class TestStreamingSessions:
         out = spark.sql("SELECT * FROM stream_feats").toPandas()
         assert len(out) == 50
         assert "avgTokenLength" in out.columns
+
+
+class TestStreamingEnrich:
+    def test_streaming_asof_enrich_matches_batch_asof(
+        self, spark, transcripts_pdf, profiles_pdf, tmp_path
+    ):
+        """Stream-static interval join ≡ the batch as-of join on identical
+        data (backward, exact matches allowed, leak-free)."""
+        from py_evalfilter_spark.operators import asof
+        from py_evalfilter_spark.streaming import enrich, sessions
+
+        src = str(tmp_path / "turns3")
+        sdf = spark.createDataFrame(transcripts_pdf)
+        sdf.write.parquet(src)
+        prof = spark.createDataFrame(profiles_pdf)
+
+        stream = spark.readStream.schema(sdf.schema).parquet(src)
+        sessions.run_stream_once(
+            stream,
+            lambda s: enrich.streaming_asof_enrich(s, prof),
+            "stream_enriched",
+        )
+        got = (
+            spark.sql("SELECT * FROM stream_enriched")
+            .toPandas()
+            .sort_values(["conv_id", "turn_idx"], kind="mergesort")
+            .reset_index(drop=True)
+        )
+        want = (
+            asof.asof_join_union_window(
+                sdf, prof, on="ts", by="conv_id", right_ts_alias="profile_ts"
+            )
+            .toPandas()
+            .sort_values(["conv_id", "turn_idx"], kind="mergesort")
+            .reset_index(drop=True)
+        )
+        value_cols = [c for c in profiles_pdf.columns if c not in ("conv_id", "ts")]
+        for col in ["profile_ts"] + value_cols:
+            av, bv = got[col], want[col]
+            assert ((av == bv) | (av.isna() & bv.isna())).all(), col
+        matched = got["profile_ts"].notna()
+        assert (got.loc[matched, "profile_ts"] <= got.loc[matched, "ts"]).all()
+
+    def test_streaming_exact_dedup_first_wins(self, spark, tmp_path):
+        from py_evalfilter_spark.streaming import enrich, sessions
+
+        pdf = pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3, 4, 5],
+                "text": ["aaa", "bbb", "aaa", "ccc", "bbb"],
+                "ts": pd.to_datetime([10, 20, 30, 40, 50], unit="s"),
+            }
+        )
+        src = str(tmp_path / "docs")
+        sdf = spark.createDataFrame(pdf)
+        sdf.write.parquet(src)
+        stream = spark.readStream.schema(sdf.schema).parquet(src)
+        sessions.run_stream_once(
+            stream,
+            lambda s: enrich.streaming_exact_dedup(s, ["text"], watermark="1 hour"),
+            "stream_dedup",
+        )
+        got = spark.sql("SELECT * FROM stream_dedup").toPandas()
+        assert sorted(got["text"].tolist()) == ["aaa", "bbb", "ccc"]
