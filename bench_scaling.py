@@ -138,7 +138,17 @@ def main() -> None:
         1: "local-cluster[1,8,22528]",  # N  = 1 executor JVM x 8 cores
         4: "local-cluster[4,8,22528]",  # 4N = 4 executor JVMs x 8 cores
     }
+    # the UNSATURATED pair: 1x2 -> 4x2 executor JVMs = 2 -> 8 total cores,
+    # BELOW the single socket's ~8-thread memory-bus saturation point, so
+    # executor-count scaling is measured without the shared-bus artifact —
+    # the closest this box can get to adding real nodes
+    small_specs = {
+        1: ("local-cluster[1,2,22528]", 2),
+        4: ("local-cluster[4,2,22528]", 8),
+    }
+    small_levels: dict[int, dict] = {}
     do_cluster = os.environ.get("SCALING_CLUSTER", "1") == "1"
+    do_small = os.environ.get("SCALING_SMALL_CLUSTER", "1") == "1"
     ceiling = hardware_ceiling()  # BEFORE any JVM: an idle-box capacity
     # interleave levels across fresh JVMs; keep the best JVM per level
     # (occasional JVMs on this VM land in a degraded state, 3-7x slower)
@@ -158,6 +168,16 @@ def main() -> None:
                 cur = cluster_levels.get(nw)
                 if cur is None:
                     cluster_levels[nw] = r
+                else:
+                    for key in ("pipeline", "map_stage", "shuffle"):
+                        cur[key] = min(cur[key], r[key])
+                print(f"{master}: {r}")
+        if do_small:
+            for nw, (master, cpus) in small_specs.items():
+                r = run_level(cpus, master=master)
+                cur = small_levels.get(nw)
+                if cur is None:
+                    small_levels[nw] = r
                 else:
                     for key in ("pipeline", "map_stage", "shuffle"):
                         cur[key] = min(cur[key], r[key])
@@ -195,6 +215,21 @@ def main() -> None:
                 "cluster_pipeline_efficiency": ceff("pipeline"),
                 "cluster_map_stage_efficiency": ceff("map_stage"),
                 "cluster_shuffle_efficiency": ceff("shuffle"),
+            }
+        )
+    if small_levels:
+        def seff(key: str) -> float:
+            return round((small_levels[1][key] / small_levels[4][key]) / 4.0, 3)
+
+        result.update(
+            {
+                "unsat_N": "local-cluster[1,2] (1 executor JVM, 2 cores)",
+                "unsat_4N": "local-cluster[4,2] (4 executor JVMs, 8 cores)",
+                "unsat_pipeline_thr_N": round(rows / small_levels[1]["pipeline"], 1),
+                "unsat_pipeline_thr_4N": round(rows / small_levels[4]["pipeline"], 1),
+                "unsat_pipeline_efficiency": seff("pipeline"),
+                "unsat_map_stage_efficiency": seff("map_stage"),
+                "unsat_shuffle_efficiency": seff("shuffle"),
             }
         )
     print(json.dumps(result))
@@ -243,6 +278,18 @@ def main() -> None:
                 f"| pure shuffle, real executor boundary | {rows} | "
                 f"{cluster_levels[1]['shuffle']} | {cluster_levels[4]['shuffle']} | "
                 f"{result['cluster_shuffle_efficiency']} | still one memory bus under all 4 JVMs |\n"
+            )
+        if small_levels:
+            fp.write(
+                f"| full pipeline, real executors BELOW bus saturation (1x2 -> 4x2 JVMs) | {rows} | "
+                f"{small_levels[1]['pipeline']} | {small_levels[4]['pipeline']} | "
+                f"{result['unsat_pipeline_efficiency']} | raw N->4N executor scaling without the shared-bus artifact |\n"
+                f"| map stage, 1x2 -> 4x2 executors | {rows} | "
+                f"{small_levels[1]['map_stage']} | {small_levels[4]['map_stage']} | "
+                f"{result['unsat_map_stage_efficiency']} |  |\n"
+                f"| pure shuffle, 1x2 -> 4x2 executors | {rows} | "
+                f"{small_levels[1]['shuffle']} | {small_levels[4]['shuffle']} | "
+                f"{result['unsat_shuffle_efficiency']} |  |\n"
             )
 
 
