@@ -795,6 +795,60 @@ WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
 """
 
 
+def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigation pattern with a hard correctness gate: two-phase
+    salted aggregation (groupBy (key, salt) partial → groupBy key final)
+    must be bit-identical to the plain single-phase GROUP BY the oracle
+    runs.  Exact integer-cent partials make the equality exact, not
+    approximate — the salting never changes results, only the shuffle
+    fan-out under a mega-key (operators/skew.py)."""
+    ev = _read(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    salted = ev.withColumn("__salt", F.pmod(F.xxhash64("event_id"), F.lit(8)))
+    partial = salted.groupBy("user_id", "__salt").agg(
+        F.sum(cents).alias("c"), F.count(F.lit(1)).alias("n")
+    )
+    return (
+        partial.groupBy("user_id")
+        .agg(
+            F.round(F.sum("c") / 100.0, 2).alias("total"),
+            F.sum("n").alias("n_events"),
+        )
+    )
+
+
+SQL_SALTED_AGG = """
+SELECT user_id,
+       ROUND(CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) / 100.0, 2) AS total,
+       COUNT(*) AS n_events
+FROM events GROUP BY user_id
+"""
+
+
+def q_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal-column plumbing with an oracle: treat content as an opaque
+    binary payload (functions/multimodal.py design) and extract typed
+    metadata JVM-side — byte length (≠ char length for multibyte), a
+    leading-byte sniff, and a binary equality-class key (md5)."""
+    docs = _read(spark, sf_dir, "documents")
+    payload = F.encode("text", "UTF-8")
+    return docs.select(
+        "doc_id",
+        F.octet_length(payload).cast("long").alias("n_bytes"),
+        F.length("text").cast("long").alias("n_chars"),
+        F.md5(payload).alias("content_key"),
+    )
+
+
+SQL_BINARY_META = """
+SELECT doc_id,
+       CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       md5(text) AS content_key
+FROM documents
+"""
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: hash-groupBy on content, keep min doc_id (survivor set)."""
     docs = _read(spark, sf_dir, "documents")
@@ -1407,6 +1461,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pivot": q_pivot,
     "cube_agg": q_cube_agg,
     "semi_anti_join": q_semi_anti_join,
+    "salted_agg": q_salted_agg,
+    "binary_meta": q_binary_meta,
     "dedup_exact": q_dedup_exact,
     "dedup_fuzzy_window": q_dedup_fuzzy_window,
     "token_count": q_token_count,
@@ -1456,6 +1512,8 @@ ORACLES: dict[str, str] = {
     "pivot": SQL_PIVOT,
     "cube_agg": SQL_CUBE_AGG,
     "semi_anti_join": SQL_SEMI_ANTI_JOIN,
+    "salted_agg": SQL_SALTED_AGG,
+    "binary_meta": SQL_BINARY_META,
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_fuzzy_window": SQL_DEDUP_FUZZY_WINDOW,
     "token_count": SQL_TOKEN_COUNT,
