@@ -1250,8 +1250,13 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_dedup_reference_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P12 exact reference semantics (deduplicate_rants.py queue walk):
-    survivor set after chained look-ahead-3 dedup + len>50 filter
-    (rows-only; chain semantics pinned in pytest)."""
+    survivor set after chained look-ahead-3 dedup + len>50 filter.
+
+    The inherently-sequential walk (a row marked dup is skipped as a later
+    anchor, so dup-of-a-dup SURVIVES) has a DuckDB oracle as a RECURSIVE CTE
+    stepping one row per source in doc_id order, carrying the dropped-set as
+    a LIST and joining the three look-ahead candidates per step — bit-exact
+    vs the Arrow queue-walk at both test scales."""
     from ..operators import dedup
 
     docs = _read(spark, sf_dir, "documents")
@@ -1259,6 +1264,49 @@ def q_dedup_reference_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "doc_id", "text", order_col="doc_id", partition_col="source",
         lookahead=3, threshold=90.0, min_length=50,
     )
+
+
+SQL_DEDUP_REFERENCE_CHAIN = """
+WITH RECURSIVE rows_ord AS (
+  SELECT source, doc_id, text,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY source) AS n
+  FROM documents
+),
+srcs AS (SELECT DISTINCT source, n FROM rows_ord),
+walk AS (
+  SELECT source, CAST(0 AS BIGINT) AS step, CAST([] AS BIGINT[]) AS dropped, n
+  FROM srcs
+  UNION ALL
+  SELECT w.source, w.step + 1,
+         CASE WHEN list_contains(w.dropped, w.step + 1) THEN w.dropped
+              ELSE w.dropped
+                || CASE WHEN c1.rn IS NOT NULL AND NOT list_contains(w.dropped, c1.rn)
+                         AND 100.0 * (1.0 - levenshtein(a.text, c1.text) * 1.0
+                             / GREATEST(length(a.text), length(c1.text), 1)) > 90.0
+                        THEN [c1.rn] ELSE [] END
+                || CASE WHEN c2.rn IS NOT NULL AND NOT list_contains(w.dropped, c2.rn)
+                         AND 100.0 * (1.0 - levenshtein(a.text, c2.text) * 1.0
+                             / GREATEST(length(a.text), length(c2.text), 1)) > 90.0
+                        THEN [c2.rn] ELSE [] END
+                || CASE WHEN c3.rn IS NOT NULL AND NOT list_contains(w.dropped, c3.rn)
+                         AND 100.0 * (1.0 - levenshtein(a.text, c3.text) * 1.0
+                             / GREATEST(length(a.text), length(c3.text), 1)) > 90.0
+                        THEN [c3.rn] ELSE [] END
+         END,
+         w.n
+  FROM walk w
+  JOIN rows_ord a ON a.source = w.source AND a.rn = w.step + 1
+  LEFT JOIN rows_ord c1 ON c1.source = w.source AND c1.rn = w.step + 2
+  LEFT JOIN rows_ord c2 ON c2.source = w.source AND c2.rn = w.step + 3
+  LEFT JOIN rows_ord c3 ON c3.source = w.source AND c3.rn = w.step + 4
+  WHERE w.step < w.n
+),
+final AS (SELECT source, dropped FROM walk WHERE step = n)
+SELECT r.doc_id, r.text
+FROM rows_ord r JOIN final f ON r.source = f.source
+WHERE NOT list_contains(f.dropped, r.rn) AND length(r.text) > 50
+"""
 
 
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1289,6 +1337,20 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _read(spark, sf_dir, "embeddings")
     return similarity.lsh_topk(emb, emb.filter(F.col("vec_id") < 3), k=5)
+
+
+def q_ann_lsh_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH with n_planes=0: every vector lands in the single
+    bucket, so the candidate set is exhaustive and the result must equal
+    the brute-force top-5 bit-for-bit — the SQL-checkable gate on the LSH
+    candidate-join + re-rank machinery (ann_lsh above measures recall at
+    real plane counts)."""
+    from ..operators import similarity
+
+    emb = _read(spark, sf_dir, "embeddings")
+    return similarity.lsh_topk(
+        emb, emb.filter(F.col("vec_id") < 3), k=5, n_planes=0, n_tables=1
+    )
 
 
 def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1482,6 +1544,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
     "ann_ivf_fullprobe": q_ann_ivf_fullprobe,
+    "ann_lsh_exhaustive": q_ann_lsh_exhaustive,
     "dedup_reference_chain": q_dedup_reference_chain,
     "langid": q_langid,
     "fingerprint": q_fingerprint,
@@ -1527,9 +1590,11 @@ ORACLES: dict[str, str] = {
     "dedup_minhash": SQL_DEDUP_MINHASH,
     "embedding_neardup": SQL_EMBEDDING_NEARDUP,
     "ann_ivf_fullprobe": SQL_KNN_COSINE,  # full probe ≡ exact brute force
+    "ann_lsh_exhaustive": SQL_KNN_COSINE,  # single bucket ≡ exact brute force
     "langid": SQL_LANGID,
+    "dedup_reference_chain": SQL_DEDUP_REFERENCE_CHAIN,
     # rows-only (Arrow-UDF tokenizers / banded-LSH internals / crc32 not
     # expressible in ANSI SQL; allclose- or recall-tested in pytest):
     # rant_stats_features, vectorize_type_ngrams, vectorize_pos_tfidf,
-    # dedup_simhash, ann_lsh, ann_ivf, dedup_reference_chain, fingerprint
+    # dedup_simhash, ann_lsh, ann_ivf, fingerprint
 }
