@@ -94,8 +94,16 @@ def with_sorted_index(
         df.repartitionByRange(*range_args)
         .sortWithinPartitions(*order_exprs)
         .withColumn("__pid", F.spark_partition_id())
-        .cache()
     )
+    if num_partitions == 1:
+        # single partition by contract: the offset is trivially ``base`` —
+        # no counts job, no cache, still a partitioned (warning-free) window
+        wloc = Window.partitionBy("__pid").orderBy(*order_exprs)
+        return (
+            d.withColumn(out, (F.row_number().over(wloc) - 1 + base).cast("int"))
+            .drop("__pid")
+        )
+    d = d.cache()
     counts = {
         r["__pid"]: r["n"]
         for r in d.groupBy("__pid").agg(F.count(F.lit(1)).alias("n")).collect()
@@ -178,7 +186,13 @@ def fit_vocabulary(
     )
     vocab = with_sorted_index(vocab, ("term",), "index", num_partitions=nparts)
     if obs is not None:
-        # the indexer's counts job already ran the fit scan → obs is filled
+        if nparts == 1:
+            # the single-partition indexer is jobless — materialize the
+            # (bounded) vocab once: the ONLY full corpus scan of the fit,
+            # which also fills the observation
+            vocab = vocab.cache()
+            vocab.count()
+        # else: the indexer's counts job already ran the fit scan
         n_docs = obs.get["n"]
     # idf uses the smooth sklearn-0.16 formula; n_docs baked in at fit time
     return vocab.withColumn(
