@@ -69,10 +69,21 @@ def main() -> None:
 
     def run_pipeline():
         out = feature_pipeline(spark, SF_DIR)
-        # aggregate a feature column: a bare count() lets Catalyst prune the
-        # (scalar, side-effect-free) feature UDF entirely — which is correct
-        # engine behavior, but would benchmark nothing
-        row = out.selectExpr("count(*) AS n", "sum(tokens) AS s").collect()[0]
+        # consume one column from EVERY stage: a bare count() (or an agg
+        # referencing only the UDF output) lets Catalyst column-prune the
+        # windows/as-of chain out of the physical plan entirely — correct
+        # optimizer behavior, but then the bench measures scan+map only.
+        # (Round 1 benched exactly that pruned plan; fixed in round 2.)
+        row = out.selectExpr(
+            "count(*) AS n",
+            "sum(tokens) AS s",                      # Arrow feature map
+            "sum(turn_idx) AS a",                    # derivation row_number
+            "sum(turns_last3) AS b",                 # rolling window
+            "sum(session_seq) AS c",                 # sessionization
+            "max(tool_ffill) AS d",                  # backfill
+            "sum(cast(cast(profile_ts AS timestamp) AS long)) AS e",  # as-of fill
+            "sum(purchase_value) AS f",
+        ).collect()[0]
         n_turns_box["n"] = row["n"]
 
     pipeline_sec = best_of(run_pipeline)

@@ -72,7 +72,12 @@ def best_of(fn, reps):
         best = dt if best is None or dt < best else best
     return round(best, 3)
 
-pipeline = best_of(lambda: feature_pipeline_from_df(t, p).selectExpr("count(*)", "sum(tokens)").collect(), {repeats})
+# aggregate one column per stage: count(*)+sum(tokens) alone lets Catalyst
+# column-prune the windows/as-of chain out of the plan (scan+map only)
+PIPE_AGGS = ["count(*)", "sum(tokens)", "sum(turn_idx)", "sum(turns_last3)",
+             "sum(session_seq)", "max(tool_ffill)",
+             "sum(cast(cast(profile_ts AS timestamp) AS long))", "sum(purchase_value)"]
+pipeline = best_of(lambda: feature_pipeline_from_df(t, p).selectExpr(*PIPE_AGGS).collect(), {repeats})
 map_df = spark.range(0, n_rows, 1, 256).select(
     F.concat(F.lit('スパーク処理 {{"k": '), (F.col("id") % 1000).cast("string"), F.lit('}} です！')).alias("text"))
 map_stage = best_of(lambda: textfeats.with_rant_stats(map_df).selectExpr("sum(tokens)").collect(), {repeats})

@@ -8,10 +8,12 @@ Scale notes (what survives a 1000-executor / 100 TB run):
     across `spark.sql.shuffle.partitions` — the per-turn Arrow feature map
     inherits that balanced partitioning, so mega-conversations can't skew
     the map stage (per-turn features never cross rows → salting-safe);
-  * all window features share a single conv_id Exchange;
-  * the as-of merge buckets by xxhash64(conv_id) → task count independent
-    of conversation cardinality; AQE (enabled in session.py) rebalances
-    residual skew;
+  * all window features share the derivation's single conv_id Exchange;
+  * the as-of union-window adds ONE more full-data conv_id Exchange
+    (a Union's output partitioning is unknown to Catalyst, so the as-of
+    window must redistribute) plus the profile-side aggregation shuffle —
+    the full executed plan is exactly 3 hashpartitioning Exchanges, two of
+    them over the big side (pinned in tests/test_plans.py);
   * nothing collects to the driver; output is a DataFrame for the sink.
 """
 

@@ -66,6 +66,29 @@ class TestWindowChain:
         # conv_id attribute, and every window operator reuses it
         assert plan.count("Exchange hashpartitioning") == 1, plan[:500]
 
+    def test_benched_pipeline_is_not_column_pruned(self, spark):
+        """The bench's aggregation consumes one column from every stage, so
+        the windows/as-of chain must SURVIVE in the executed plan — under a
+        bare count()+sum(tokens) Catalyst prunes the whole chain (zero
+        hashpartitioning Exchanges) and the bench would measure scan+map
+        only (round-1 mistake).  Expected: exactly 3 hashpartitioning
+        Exchanges — derivation(conv_id) shared by all windows, the as-of
+        union re-shuffle(conv_id), and the profile-side aggregation."""
+        from py_evalfilter_spark.plans.pipeline import feature_pipeline
+
+        aggs = [
+            "count(*)", "sum(tokens)", "sum(turn_idx)", "sum(turns_last3)",
+            "sum(session_seq)", "max(tool_ffill)",
+            "sum(cast(cast(profile_ts AS timestamp) AS long))", "sum(purchase_value)",
+        ]
+        plan = _plan(feature_pipeline(spark, SF).selectExpr(*aggs))
+        assert plan.count("Exchange hashpartitioning") == 3, plan[:900]
+        # and the pruned variant really does prune (optimizer sanity)
+        pruned = _plan(
+            feature_pipeline(spark, SF).selectExpr("count(*)", "sum(tokens)")
+        )
+        assert pruned.count("Exchange hashpartitioning") == 0
+
     def test_session_agg_reuses_conv_exchange(self, spark):
         # grouping on (conv_id, session_seq) must be satisfied by the
         # sessionize window's hashpartitioning(conv_id) — one Exchange total,
