@@ -61,7 +61,7 @@ if k > 1:
             .withColumn("user_id", F.col("user_id") + F.col("rep").cast("long") * 10_000_000)
             .withColumn("event_id", F.col("event_id") + F.col("rep").cast("long") * 1_000_000_000)
             .drop("rep"))
-t = dq.transcripts_from_events(ev)
+t = dq.transcripts_from_events(ev, keep_order_col=True)
 p = dq.profile_from_events(ev)
 n_rows = ev.count()
 

@@ -34,18 +34,27 @@ def with_lag_lead(
     return df
 
 
-def with_backfill(df: DataFrame, col: str = "tool", by: str = "conv_id") -> DataFrame:
+def with_backfill(
+    df: DataFrame,
+    col: str = "tool",
+    by: str = "conv_id",
+    order: tuple[str, ...] = ("turn_idx", "ts"),
+) -> DataFrame:
     """Forward-fill last non-null value (W3): last(ignorenulls) over an
     unbounded-preceding frame."""
-    w = conv_window(by).rowsBetween(Window.unboundedPreceding, 0)
+    w = conv_window(by, order).rowsBetween(Window.unboundedPreceding, 0)
     return df.withColumn(f"{col}_ffill", F.last(col, ignorenulls=True).over(w))
 
 
 def with_rolling_count(
-    df: DataFrame, k: int = 3, out: str = "turns_last3", by: str = "conv_id"
+    df: DataFrame,
+    k: int = 3,
+    out: str = "turns_last3",
+    by: str = "conv_id",
+    order: tuple[str, ...] = ("turn_idx", "ts"),
 ) -> DataFrame:
     """Rolling count over the current + k preceding rows (W3)."""
-    w = conv_window(by).rowsBetween(-k, 0)
+    w = conv_window(by, order).rowsBetween(-k, 0)
     return df.withColumn(out, F.count(F.lit(1)).over(w))
 
 
@@ -54,12 +63,13 @@ def with_session(
     gap_s: int = SESSION_GAP_S,
     by: str = "conv_id",
     ts_col: str = "ts",
+    order: tuple[str, ...] = ("turn_idx", "ts"),
 ) -> DataFrame:
     """Gap-based sessionization (W4): new session when the gap from the
     previous turn exceeds ``gap_s`` (first turn starts session 1); running
     sum of starts → per-conversation session sequence → global session_id.
     """
-    w = conv_window(by)
+    w = conv_window(by, order)
     # NTZ-safe epoch: TIMESTAMP_NTZ → TIMESTAMP (session tz, pinned UTC) → long
     ep = F.col(ts_col).cast("timestamp").cast("long")
     gap = ep - F.lag(ep, 1).over(w)

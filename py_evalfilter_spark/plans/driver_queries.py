@@ -50,11 +50,18 @@ def transcripts_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     return transcripts_from_events(_read(spark, sf_dir, "events"))
 
 
-def transcripts_from_events(ev: DataFrame) -> DataFrame:
+def transcripts_from_events(ev: DataFrame, keep_order_col: bool = False) -> DataFrame:
     # project conv_id FIRST, then window on the column: the row_number
     # Exchange then satisfies every downstream conv_id window/as-of
     # distribution (Catalyst reuses hashpartitioning on the same attribute),
     # halving full-data shuffles vs windowing on user_id and aliasing after
+    #
+    # keep_order_col=True additionally keeps the derivation's sort key
+    # `event_id` (UNALIASED — renaming breaks Catalyst's ordering
+    # propagation and forces a re-sort): downstream windows ordered by
+    # (ts, event_id) — the IDENTICAL permutation as (turn_idx, ts), since
+    # turn_idx is the rank of (ts, event_id) — reuse the derivation
+    # WindowExec's sort instead of re-sorting the full frame (plan-tested)
     base = ev.select(
         F.concat(F.lit("conv_"), F.col("user_id").cast("string")).alias("conv_id"),
         F.col("event_type").alias("role"),
@@ -74,6 +81,7 @@ def transcripts_from_events(ev: DataFrame) -> DataFrame:
         "text",
         "tool",
         "ts",
+        *(["event_id"] if keep_order_col else []),
     )
 
 

@@ -34,7 +34,9 @@ def feature_pipeline(
     min_map_partitions: int | None = None,
 ) -> DataFrame:
     """Full pipeline over the events-derived transcripts at ``sf_dir``."""
-    t = dq.transcripts_df(spark, sf_dir)
+    t = dq.transcripts_from_events(
+        dq._read(spark, sf_dir, "events"), keep_order_col=True
+    )
     if min_map_partitions:
         t = t.repartition(min_map_partitions)
     profile = dq.profile_df(spark, sf_dir)
@@ -55,10 +57,25 @@ def feature_pipeline_from_df(
     row and never serialized through an Exchange (at 10^12 turns the
     windows/as-of shuffles move ~6 columns instead of ~25).  Features
     depend only on ``text``, so the reordering is semantics-preserving.
+
+    Sort reuse: if the transcripts still carry the derivation's sort key
+    ``event_id`` (transcripts_from_events(keep_order_col=True)), the window
+    chain orders by (ts, event_id) — the identical permutation as
+    (turn_idx, ts) — and Catalyst elides the window chain's Sort, reusing
+    the derivation WindowExec's output ordering (one fewer full sort of
+    the corpus; plan-tested).  The key must stay UNALIASED: renaming breaks
+    ordering propagation.
     """
+    order = ("ts", "event_id") if "event_id" in transcripts.columns else ("turn_idx", "ts")
     windowed = win_op.with_session(
-        win_op.with_rolling_count(win_op.with_backfill(transcripts)), gap_s=gap_s
+        win_op.with_rolling_count(
+            win_op.with_backfill(transcripts, order=order), order=order
+        ),
+        gap_s=gap_s,
+        order=order,
     )
+    if "event_id" in transcripts.columns:
+        windowed = windowed.drop("event_id")
     if profile is not None:
         windowed = asof_op.asof_join_union_window(
             windowed, profile, on="ts", by="conv_id", right_ts_alias="profile_ts"

@@ -83,6 +83,11 @@ class TestWindowChain:
         ]
         plan = _plan(feature_pipeline(spark, SF).selectExpr(*aggs))
         assert plan.count("Exchange hashpartitioning") == 3, plan[:900]
+        # sort reuse: the window chain orders by (ts, __ord) — the identical
+        # permutation as (turn_idx, ts) — so it reuses the derivation
+        # WindowExec's sort: exactly 2 Sort nodes (derivation + as-of union),
+        # not 3
+        assert plan.count("Sort [") == 2, plan[:900]
         # and the pruned variant really does prune (optimizer sanity)
         pruned = _plan(
             feature_pipeline(spark, SF).selectExpr("count(*)", "sum(tokens)")
