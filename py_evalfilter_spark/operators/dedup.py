@@ -60,7 +60,11 @@ def _ratio_col(a, b, mode: str):
     dist = F.levenshtein(a, b)
     la, lb = F.length(a), F.length(b)
     if mode == "fuzz":
-        return 100.0 * (la + lb - dist) / F.greatest(la + lb, F.lit(1))
+        # floor the length sum in BOTH numerator and denominator so two
+        # empty strings score 100.0 (dist=0), matching _lev_ratio — flooring
+        # only the denominator would score the all-empty edge 0.0
+        lsum = F.greatest(la + lb, F.lit(1))
+        return 100.0 * (lsum - dist) / lsum
     if mode == "maxlen":
         return 100.0 * (1.0 - dist / F.greatest(la, lb, F.lit(1)))
     raise ValueError(f"unknown ratio mode {mode!r}")

@@ -87,6 +87,14 @@ def with_sorted_index(
     bounded-small by contract (a post-limit survivor set) to avoid paying
     32 range-partition tasks for 50 rows; leave None for corpus-sized
     inputs.
+
+    Cache lifecycle: the multi-partition path caches the range-partitioned
+    frame and must KEEP it cached for as long as the returned frame lives —
+    the range partitioner samples boundaries nondeterministically, so a
+    recompute could shift rows across partitions and invalidate the offset
+    map.  Callers that are done with the result own the unpersist (e.g.
+    ``spark.catalog.clearCache()`` between pipelines); fit_vocabulary's
+    vocab cache is deliberately long-lived.
     """
     order_exprs = [F.col(c) if isinstance(c, str) else c for c in order_cols]
     range_args = ([num_partitions] if num_partitions else []) + order_exprs
@@ -155,23 +163,25 @@ def fit_vocabulary(
     id_cols = id_cols or ["conv_id", "turn_idx"]
     fit_df = df.filter(F.col(ts_col) <= F.lit(cutoff_ts)) if cutoff_ts is not None else df
 
-    # \x01 separator: distinct id tuples must not collide after concat
-    doc_key = F.concat_ws("", *[F.col(c).cast("string") for c in id_cols])
     obs = None
     if terms is not None and cutoff_ts is None:
-        # pre-tokenized path: terms_df caches, so this count reads the cache
+        # pre-tokenized path: n_docs must count ALL fit rows (zero-token
+        # docs included, as sklearn's idf does), which the exploded terms
+        # frame cannot supply — a separate scan of the SOURCE frame (cheap:
+        # parquet count pushdown reads no column data), not of the cache
         n_docs = fit_df.count()
-        terms = terms.withColumn("doc", doc_key)
     else:
         # n_docs rides the stats job as an observe() metric — no separate
         # count scan of the fit frame
         obs = Observation("fit_n_docs")
         fit_df = fit_df.observe(obs, F.count(F.lit(1)).alias("n"))
-        terms = _terms(
-            fit_df, text_col, id_cols, tokenizer, ngram_range, stop_words
-        ).withColumn("doc", doc_key)
+        terms = _terms(fit_df, text_col, id_cols, tokenizer, ngram_range, stop_words)
+    # doc-frequency counts distinct id TUPLES directly — no string concat of
+    # the ids (a separator-free concat would collide ('conv_1', 23) with
+    # ('conv_12', 3) and silently undercount docfreq / skew idf)
     stats = terms.groupBy("term").agg(
-        F.count(F.lit(1)).alias("tf"), F.countDistinct("doc").alias("docfreq")
+        F.count(F.lit(1)).alias("tf"),
+        F.countDistinct(*[F.col(c) for c in id_cols]).alias("docfreq"),
     )
     vocab = stats.filter(F.col("docfreq") >= min_df)
     if max_features is not None and max_features > 0:

@@ -251,10 +251,10 @@ def generate_price(
     cat_cols = ["hasindustry", "hasoccupation", "hascompany", "hasprodname",
                 "hasproposal", "state", "gender", "job"]
     num_cols = ["empathies", "birthyear"]
-    cat_values = {
-        c: sorted(r[0] for r in prof.select(c).distinct().collect() if r[0] is not None)
-        for c in cat_cols
-    }
+    # one aggregation pass collects every categorical domain (collect_set
+    # drops NULLs) — not one driver job per column
+    dom = prof.select([F.collect_set(c).alias(c) for c in cat_cols]).first()
+    cat_values = {c: sorted(dom[c]) for c in cat_cols}
     onehot_names = sorted(
         [f"{c}={v}" for c in cat_cols for v in cat_values[c]] + num_cols
     )
