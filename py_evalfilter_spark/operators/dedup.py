@@ -515,28 +515,66 @@ def simhash_pairs(
 # ---------------------------------------------------------------------------
 
 
+def _lsh_tables_for_recall(threshold: float, n_planes: int, target_recall: float) -> int:
+    """Number of independent hyperplane tables so that a pair at exactly
+    ``threshold`` cosine is recalled with probability >= target_recall.
+
+    Per plane, P(same sign) = 1 - theta/pi with theta = arccos(threshold);
+    per table of r planes the pair collides with p^r; over b independent
+    tables recall = 1 - (1 - p^r)^b, so b = ceil(ln(1-R)/ln(1-p^r)).
+    """
+    import math
+
+    theta = math.acos(max(min(threshold, 1.0), -1.0))
+    p = 1.0 - theta / math.pi
+    p_r = p**n_planes
+    if p_r >= 1.0:
+        return 1
+    if p_r <= 0.0:
+        raise ValueError(f"n_planes={n_planes} too high for threshold={threshold}")
+    return max(1, min(64, math.ceil(math.log(1.0 - target_recall) / math.log(1.0 - p_r))))
+
+
 def embedding_neardup_pairs(
     df: DataFrame,
     id_col: str,
     vec_col: str,
     threshold: float = 0.95,
-    n_planes: int = 16,
+    n_planes: int = 8,
     seed: int = 42,
     target_bucket_rows: int | None = None,
+    n_tables: int | None = None,
+    target_recall: float = 0.95,
 ) -> DataFrame:
-    """Cosine >= threshold pairs via random-hyperplane bucket blocking +
-    exact verify (JVM-side dot products).
+    """Cosine >= threshold pairs via MULTI-TABLE random-hyperplane blocking +
+    exact verify (JVM-side dot products).  Fuzzy-dedup threshold semantics of
+    the reference (deduplicate_rants.py:12-21) generalized to embeddings.
 
-    ``target_bucket_rows`` scales the blocking with the corpus instead of a
-    fixed bucket count: n_planes becomes
-    max(n_planes, ceil(log2(n / target_bucket_rows))) (capped at 30), so the
-    expected bucket occupancy stays ~target and the within-bucket self-join
-    cannot go quadratic as the corpus grows 100x.  Fixed ``n_planes`` alone
-    is a scale hazard: 2^12 buckets over 10^9 rows → ~244k rows/bucket →
-    ~3·10^10 candidate pairs per bucket."""
+    Blocking: ``n_tables`` independent plane sets (same pattern as
+    similarity.lsh_topk); a pair is a candidate if it shares a bucket in ANY
+    table, so recall at cosine c is 1-(1-p^r)^b with p = 1-arccos(c)/pi and
+    r = n_planes per table.  A SINGLE table's recall is p^r — at threshold
+    0.95, r=16 that's ~18% (and falls as r rises), which is why single-table
+    blocking is a recall cliff, not a tuning knob.  ``n_tables=None``
+    derives b analytically so a pair at exactly ``threshold`` is recalled
+    with >= ``target_recall`` probability (recall above threshold is higher;
+    pinned by a perturbed-vector pytest fixture, not just identical dups).
+
+    ``target_bucket_rows`` scales PER-TABLE planes with the corpus so the
+    within-bucket self-join stays linear: r = max(n_planes,
+    ceil(log2(n/target))) capped at 30 (2^12 buckets over 10^9 rows would be
+    ~244k rows/bucket → ~3e10 candidate pairs per bucket); the auto table
+    count then RISES to hold target_recall — occupancy is bought with more
+    tables, never with silently dropped true pairs.  The sizing count is a
+    parquet count-pushdown scan (reads no column data).
+
+    Precision is 1.0 by construction: every candidate is exact-verified.
+    Candidates are deduped as id PAIRS before vectors are re-joined, so the
+    cross-table distinct never shuffles vector payloads.
+    """
     import math
 
-    from .similarity import with_hyperplane_bucket, cosine_expr
+    from .similarity import cosine_expr, with_hyperplane_bucket
 
     d = df.select(
         F.col(id_col).alias("doc_id"),
@@ -547,22 +585,28 @@ def embedding_neardup_pairs(
         n_planes = max(
             n_planes, min(30, math.ceil(math.log2(max(n / target_bucket_rows, 1.0))))
         )
-    b = with_hyperplane_bucket(d, "vec", n_planes=n_planes, seed=seed)
-    l = b.alias("l")
-    rt = b.alias("r")
-    cands = (
-        l.join(rt, F.col("l.bucket") == F.col("r.bucket"))
-        .filter(F.col("l.doc_id") < F.col("r.doc_id"))
-        .select(
-            F.col("l.doc_id").alias("doc_id"),
-            F.col("r.doc_id").alias("dup_id"),
-            F.col("l.vec").alias("va"),
-            F.col("r.vec").alias("vb"),
+    if n_tables is None:
+        n_tables = _lsh_tables_for_recall(threshold, n_planes, target_recall)
+    cands = None
+    for t in range(n_tables):
+        b = with_hyperplane_bucket(d, "vec", n_planes=n_planes, seed=seed + 1000 * t)
+        l = b.alias("l")
+        rt = b.alias("r")
+        c = (
+            l.join(rt, F.col("l.bucket") == F.col("r.bucket"))
+            .filter(F.col("l.doc_id") < F.col("r.doc_id"))
+            .select(
+                F.col("l.doc_id").alias("doc_id"), F.col("r.doc_id").alias("dup_id")
+            )
         )
-        .distinct()
-    )
+        cands = c if cands is None else cands.unionByName(c)
+    cands = cands.distinct()
+    va = d.select(F.col("doc_id"), F.col("vec").alias("va"))
+    vb = d.select(F.col("doc_id").alias("dup_id"), F.col("vec").alias("vb"))
     return (
-        cands.withColumn("cosine", F.round(cosine_expr("va", "vb"), 4))
+        cands.join(va, "doc_id")
+        .join(vb, "dup_id")
+        .withColumn("cosine", F.round(cosine_expr("va", "vb"), 4))
         .filter(F.col("cosine") >= threshold)
         .select("doc_id", "dup_id", "cosine")
     )

@@ -81,22 +81,36 @@ def with_hyperplane_bucket(
 ) -> DataFrame:
     """Append the sign-bit bucket id of the seeded random hyperplanes.
 
-    JVM-side: each plane's dot product via aggregate(zip_with(...)), sign →
-    bit, bits → long.  No Python in the hot path.
+    JVM-side and CONSTANT plan size: the whole plane matrix ships as ONE
+    array<array<double>> literal (a single Catalyst Literal node, broadcast
+    with the plan), dots via transform(planes, p -> aggregate(zip_with)),
+    sign bits weighted by a power-of-two literal array and summed.  The
+    naive alternative — one F.lit per matrix CELL plus an aggregate chain
+    per plane — builds a dim x n_planes expression tree (10^4-10^5 nodes at
+    real embedding dims), blowing up Catalyst analysis and falling out of
+    codegen; here the node count is independent of dim and n_planes.
+    No Python in the hot path; bit i = (dot(vec, plane_i) >= 0).
     """
+    if n_planes <= 0:
+        return df.withColumn(out, F.lit(0).cast("long"))
     if dim is None:
         first = df.select(F.size(vec_col).alias("d")).first()
         dim = int(first["d"])
-    planes = _planes(dim, n_planes, seed)
-    bucket = F.lit(0).cast("long")
-    for i, plane in enumerate(planes):
-        parr = F.array(*[F.lit(float(x)) for x in plane])
-        dot = F.aggregate(
-            F.zip_with(F.col(vec_col), parr, lambda x, y: x * y),
+    planes_lit = F.lit(_planes(dim, n_planes, seed))  # one Literal node
+    pows = F.lit([1 << i for i in range(n_planes)])
+    dots = F.transform(
+        planes_lit,
+        lambda p: F.aggregate(
+            F.zip_with(F.col(vec_col), p, lambda x, y: x * y),
             F.lit(0.0),
             lambda acc, x: acc + x,
-        )
-        bucket = bucket + F.when(dot >= 0, F.lit(1 << i)).otherwise(F.lit(0)).cast("long")
+        ),
+    )
+    bucket = F.aggregate(
+        F.zip_with(dots, pows, lambda d, pw: F.when(d >= 0, pw).otherwise(F.lit(0))),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
     return df.withColumn(out, bucket)
 
 
@@ -110,17 +124,21 @@ def ivf_topk(
     nprobe: int = 4,
     seed: int = 42,
     fit_fraction: float | None = None,
+    fit_rows_per_centroid: int = 100_000,
 ) -> DataFrame:
     """IVF (inverted-file) ANN: k-means partitions the corpus into
     ``n_centroids`` cells; each query probes its ``nprobe`` nearest cells and
     exact-re-ranks only those candidates (candidate fraction ≈ nprobe/n_centroids).
 
     Physical shape (no driver-side collection of either side):
-      * KMeans fit is Spark ML (seeded, deterministic); ``fit_fraction``
-        fits on a seeded Bernoulli sample — at corpus scale centroids from
-        a ~1% sample are statistically equivalent and the fit stops being
-        a full-corpus job.  Full-probe exactness is independent of the
-        centroids, so correctness gates hold for any fit sample;
+      * KMeans fit is Spark ML (seeded, deterministic) on a seeded Bernoulli
+        sample BY DEFAULT: ``fit_fraction=None`` derives the fraction so the
+        fit sees ~``fit_rows_per_centroid * n_centroids`` rows (the sizing
+        count is a parquet count-pushdown scan) — at 10^9 vectors the fit is
+        a bounded sample job, never a full-corpus ML pass.  Pass an explicit
+        fraction to override.  Full-probe exactness is independent of the
+        centroids (gated by ann_ivf_fullprobe ≡ brute force), so correctness
+        holds for any fit sample;
       * cell assignment is one model.transform pass stored WITH the data
         (at scale the assignment is precomputed once and persisted as a
         partition column, so a query touches only nprobe partitions —
@@ -135,7 +153,11 @@ def ivf_topk(
 
     d = _as_double_vec(data, id_col, vec_col)
     dm = d.withColumn("fvec", array_to_vector("vec"))
-    fit_df = dm.sample(fraction=fit_fraction, seed=seed) if fit_fraction else dm
+    if fit_fraction is None:
+        target = fit_rows_per_centroid * n_centroids
+        n = data.count()  # count pushdown: reads no column data
+        fit_fraction = min(1.0, target / max(n, 1))
+    fit_df = dm.sample(fraction=fit_fraction, seed=seed) if fit_fraction < 1.0 else dm
     km = KMeans(k=n_centroids, seed=seed, featuresCol="fvec", predictionCol="cell")
     model = km.fit(fit_df)
     assigned = model.transform(dm).select("vec_id", "vec", "cell")

@@ -1318,11 +1318,16 @@ WHERE NOT list_contains(f.dropped, r.rn) AND length(r.text) > 50
 
 
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN top-5 (rows-only; recall + determinism pinned in pytest)."""
+    """IVF ANN top-5 on the SAMPLED-fit path (fit_fraction=0.5) — the scale
+    default: at 10^9 vectors KMeans must never be a full-corpus job, and
+    ann_ivf_fullprobe proves correctness is fit-independent.  Rows-only;
+    recall + determinism pinned in pytest."""
     from ..operators import similarity
 
     emb = _read(spark, sf_dir, "embeddings")
-    return similarity.ivf_topk(emb, emb.filter(F.col("vec_id") < 3), k=5)
+    return similarity.ivf_topk(
+        emb, emb.filter(F.col("vec_id") < 3), k=5, fit_fraction=0.5
+    )
 
 
 def q_ann_ivf_fullprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1458,11 +1463,14 @@ WHERE ROUND(c0.c * 1.0 / (sa.sz + sb.sz - c0.c), 4) >= 0.8
 
 
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs via hyperplane blocking; injected
-    exact-copy vectors.  DuckDB oracle: brute-force all-pairs cosine >=
-    threshold — at 0.999 every qualifying pair is (near-)identical, so it
-    always shares all 12 hyperplane signs and blocking has recall 1 here
-    (a missed pair would surface as a row-count mismatch)."""
+    """Embedding-cosine near-dup pairs via MULTI-TABLE hyperplane blocking;
+    injected exact-copy vectors.  DuckDB oracle: brute-force all-pairs
+    cosine >= threshold — at 0.999 every qualifying pair is
+    (near-)identical, so it shares all plane signs in every table and
+    blocking has recall 1 here (a missed pair would surface as a row-count
+    mismatch).  Recall at the operator's REAL working point (perturbed
+    vectors at cosine 0.90-0.97) is pinned separately in
+    tests/test_dedup_similarity.py::TestEmbeddingNeardupRecall."""
     from ..operators import dedup
 
     emb = _read(spark, sf_dir, "embeddings")

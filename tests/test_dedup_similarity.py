@@ -327,6 +327,65 @@ class TestAnnScaleHardening:
         # plan construction did not collect; executing it now works
         assert out.count() > 0
 
+    def test_hyperplane_bucket_plan_bounded_at_real_dims(self, spark):
+        """dim=768 x 24 planes must build and run: the plane matrix is ONE
+        literal node, not 768*24 F.lit cells (which blew up Catalyst
+        analysis / fell out of codegen).  Bucket bits cross-checked vs
+        numpy sign math on the same seeded planes."""
+        rng = np.random.RandomState(11)
+        vecs = rng.normal(size=(20, 768)).round(6)
+        pdf = pd.DataFrame(
+            {"vec_id": range(20), "embedding": [v.tolist() for v in vecs]}
+        )
+        sdf = spark.createDataFrame(pdf)
+        out = similarity.with_hyperplane_bucket(
+            sdf, "embedding", n_planes=24, seed=5
+        ).toPandas().sort_values("vec_id")
+        planes = np.array(similarity._planes(768, 24, seed=5))
+        want = ((vecs @ planes.T >= 0) @ (1 << np.arange(24))).astype(np.int64)
+        assert out.bucket.tolist() == want.tolist()
+
+    def test_embedding_neardup_recall_on_perturbed_vectors(self, spark):
+        """THE working-regime gate: near-dups at cosine 0.90-0.97 (not
+        identical copies, where any blocking trivially recalls).  Multi-table
+        recall at threshold 0.95 must be >= 0.9 and precision exactly 1.0
+        (exact verify).  Ground truth: numpy all-pairs cosine, rounded to 4
+        like the operator."""
+        dim, n_base, n_dup = 32, 300, 60
+        rng = np.random.RandomState(7)
+        base = rng.normal(size=(n_base, dim))
+        base /= np.linalg.norm(base, axis=1, keepdims=True)
+        rows = [(i, base[i].tolist()) for i in range(n_base)]
+        for j in range(n_dup):
+            i = j * (n_base // n_dup)
+            v = base[i]
+            u = rng.normal(size=dim)
+            u -= (u @ v) * v
+            u /= np.linalg.norm(u)
+            c = rng.uniform(0.90, 0.97)
+            rows.append((100000 + i, (c * v + np.sqrt(1 - c * c) * u).tolist()))
+        M = np.array([r[1] for r in rows])
+        Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+        ids = [r[0] for r in rows]
+        sims = np.round(Mn @ Mn.T, 4)
+        want = {
+            (ids[i], ids[j])
+            for i in range(len(ids))
+            for j in range(len(ids))
+            if ids[i] < ids[j] and sims[i, j] >= 0.95
+        }
+        assert len(want) >= 15  # the fixture actually exercises the regime
+        sdf = spark.createDataFrame(
+            pd.DataFrame({"vec_id": ids, "embedding": [r[1] for r in rows]})
+        )
+        out = dedup.embedding_neardup_pairs(
+            sdf, "vec_id", "embedding", threshold=0.95
+        ).toPandas()
+        got = set(zip(out.doc_id, out.dup_id))
+        assert got <= want, f"false positives: {got - want}"  # precision 1.0
+        recall = len(got & want) / len(want)
+        assert recall >= 0.9, f"multi-table recall {recall} < 0.9"
+
     def test_embedding_neardup_scales_planes_with_corpus(self, spark):
         emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
         dups = emb.filter(F.col("vec_id") % 53 == 0).withColumn(
