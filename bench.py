@@ -34,19 +34,67 @@ from py_evalfilter_spark.session import get_spark  # noqa: E402
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 REPEATS = int(os.environ.get("BENCH_REPEATS", "2"))
 
-BENCH_QUERIES = [
-    "groupby_stats",
-    "broadcast_join_agg",
-    "topk_vocab",
-    "lag_lead",
-    "sessionize",
-    "session_agg",
-    "asof_join",
-    "dedup_fuzzy_window",
-    "quality_score",
-    "knn_cosine",
-    "rant_stats_features",
+# Per-query bench aggregations: each consumes at least one column from EVERY
+# stage of the query so Catalyst cannot column-prune work out of the timed
+# plan.  A bare .count() prunes scalar UDFs entirely, deletes window
+# functions (they don't change row counts), and drops the as-of struct fill
+# — the same trap the round-1 pipeline bench fell into.  Plan survival of
+# each query's characteristic operator is pinned in
+# tests/test_plans.py::TestBenchedQueryPlans.
+CONSUME: dict[str, list[str]] = {
+    "groupby_stats": [
+        "count(*) AS n", "sum(revenue) AS a", "sum(n_orders) AS b", "sum(sum_qty) AS c",
+    ],
+    "broadcast_join_agg": ["count(*) AS n", "sum(total) AS a", "sum(n_orders) AS b"],
+    "topk_vocab": ["count(*) AS n", "sum(tf) AS a", "sum(rank) AS b"],
+    "lag_lead": [
+        "count(*) AS n", "sum(length(prev_text)) AS a",  # lag window
+        "sum(length(next_text)) AS b",                   # lead window
+        "sum(ts_ep) AS c",
+    ],
+    "sessionize": [
+        "count(*) AS n", "sum(session_seq) AS a",        # session window sum
+        "sum(is_session_start) AS b", "sum(length(session_id)) AS c",
+    ],
+    "session_agg": [
+        "count(*) AS n", "sum(n_turns) AS a", "sum(duration_s) AS b", "sum(n_roles) AS c",
+    ],
+    "asof_join": [
+        "count(*) AS n", "sum(profile_ts_ep) AS a",      # as-of struct fill
+        "sum(purchase_value) AS b", "sum(ts_ep) AS c",
+    ],
+    "dedup_fuzzy_window": ["count(*) AS n", "sum(ratio) AS a"],
+    "quality_score": [
+        "count(*) AS n", "sum(n_tokens) AS a", "sum(avg_token_len) AS b",
+        "sum(stopword_ratio) AS c", "sum(punct_ratio) AS d",
+    ],
+    "knn_cosine": ["count(*) AS n", "sum(sim) AS a", "sum(rank) AS b"],
+    "rant_stats_features": [
+        "count(*) AS n", "sum(tokens) AS a", "sum(kanji) AS b",  # Arrow UDF
+        "sum(avgTokenLength) AS c", "sum(turn_idx) AS d",        # derivation
+    ],
+}
+
+BENCH_QUERIES = list(CONSUME)
+
+# the flagship pipeline's consumption set (one column per stage; see
+# tests/test_plans.py::test_benched_pipeline_is_not_column_pruned)
+PIPELINE_AGGS = [
+    "count(*) AS n",
+    "sum(tokens) AS s",                      # Arrow feature map
+    "sum(turn_idx) AS a",                    # derivation row_number
+    "sum(turns_last3) AS b",                 # rolling window
+    "sum(session_seq) AS c",                 # sessionization
+    "max(tool_ffill) AS d",                  # backfill
+    "sum(cast(cast(profile_ts AS timestamp) AS long)) AS e",  # as-of fill
+    "sum(purchase_value) AS f",
 ]
+
+
+def benched_df(spark, name: str, sf_dir: str = SF_DIR):
+    """The exact aggregated DataFrame the bench times for ``name`` —
+    exported so plan tests assert the un-pruned shape of what is measured."""
+    return dq.QUERIES[name](spark, sf_dir).selectExpr(*CONSUME[name])
 
 
 def main() -> None:
@@ -68,22 +116,12 @@ def main() -> None:
     n_turns_box = {}
 
     def run_pipeline():
-        out = feature_pipeline(spark, SF_DIR)
         # consume one column from EVERY stage: a bare count() (or an agg
         # referencing only the UDF output) lets Catalyst column-prune the
         # windows/as-of chain out of the physical plan entirely — correct
         # optimizer behavior, but then the bench measures scan+map only.
         # (Round 1 benched exactly that pruned plan; fixed in round 2.)
-        row = out.selectExpr(
-            "count(*) AS n",
-            "sum(tokens) AS s",                      # Arrow feature map
-            "sum(turn_idx) AS a",                    # derivation row_number
-            "sum(turns_last3) AS b",                 # rolling window
-            "sum(session_seq) AS c",                 # sessionization
-            "max(tool_ffill) AS d",                  # backfill
-            "sum(cast(cast(profile_ts AS timestamp) AS long)) AS e",  # as-of fill
-            "sum(purchase_value) AS f",
-        ).collect()[0]
+        row = feature_pipeline(spark, SF_DIR).selectExpr(*PIPELINE_AGGS).collect()[0]
         n_turns_box["n"] = row["n"]
 
     pipeline_sec = best_of(run_pipeline)
@@ -91,8 +129,11 @@ def main() -> None:
     timings["pipeline"] = round(pipeline_sec, 3)
 
     for name in BENCH_QUERIES:
-        q = dq.QUERIES[name]
-        timings[name] = round(best_of(lambda: q(spark, SF_DIR).count()), 3)
+        # per-query stage-consuming aggregation — see CONSUME above; a bare
+        # .count() here timed column-pruned plans through round 2
+        timings[name] = round(
+            best_of(lambda: benched_df(spark, name, SF_DIR).collect()), 3
+        )
 
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").split("sf")[-1]
