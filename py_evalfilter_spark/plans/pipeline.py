@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from ..functions import textfeats
 from ..operators import asof as asof_op
 from ..operators import windows as win_op
+from ..sources import tables
 from . import driver_queries as dq
 
 
@@ -41,6 +42,86 @@ def feature_pipeline(
         t = t.repartition(min_map_partitions)
     profile = dq.profile_df(spark, sf_dir)
     return feature_pipeline_from_df(t, profile, gap_s=gap_s)
+
+
+def feature_pipeline_staged(
+    spark: SparkSession,
+    sf_dir: str,
+    work_dir: str,
+    gap_s: int = 1800,
+) -> tuple[DataFrame, dict]:
+    """Checkpointed flagship pipeline: derive → windowed(+as-of) → features,
+    each stage committed atomically through tables.run_stage with a lineage
+    manifest (north_rule: "resumable from checkpoint with per-partition
+    lineage + metrics").  A rerun after a mid-pipeline failure recomputes
+    ONLY the stages whose committed output is missing or whose config
+    fingerprint changed — kill-resume is pinned in
+    tests/test_sources_sinks.py::TestStagedPipelineResume.
+
+    Returns (features DataFrame read from the committed stage, info dict
+    {stage: {"manifest": ..., "skipped": bool}}).
+
+    Trade-off vs the single-plan :func:`feature_pipeline`: each stage
+    boundary materializes to storage (Iceberg snapshot when the runtime is
+    present, atomic parquet dir otherwise), so the derivation's sort-reuse
+    across stages is given up in exchange for resumability — the right call
+    for multi-hour 100 TB runs where a lost executor must not restart the
+    whole job, and exactly how the reference persists intermediate CSVs
+    between its scripts (generate_dataset_gvsb.py writes per-stage files).
+    """
+    info: dict[str, dict] = {}
+
+    derive_path = f"{work_dir}/stage_derive"
+    t, m, skipped = tables.run_stage(
+        spark,
+        derive_path,
+        "derive",
+        lambda: dq.transcripts_from_events(
+            dq._read(spark, sf_dir, "events"), keep_order_col=True
+        ),
+        config={"sf_dir": sf_dir},
+        input_paths=[f"{sf_dir}/events.parquet"],
+    )
+    info["derive"] = {"manifest": m, "skipped": skipped}
+
+    def build_windowed() -> DataFrame:
+        order = ("ts", "event_id") if "event_id" in t.columns else ("turn_idx", "ts")
+        w = win_op.with_session(
+            win_op.with_rolling_count(
+                win_op.with_backfill(t, order=order), order=order
+            ),
+            gap_s=gap_s,
+            order=order,
+        )
+        if "event_id" in t.columns:
+            w = w.drop("event_id")
+        return asof_op.asof_join_union_window(
+            w, dq.profile_df(spark, sf_dir), on="ts", by="conv_id",
+            right_ts_alias="profile_ts",
+        )
+
+    windowed_path = f"{work_dir}/stage_windowed"
+    w, m, skipped = tables.run_stage(
+        spark,
+        windowed_path,
+        "windowed",
+        build_windowed,
+        config={"sf_dir": sf_dir, "gap_s": gap_s},
+        input_paths=[derive_path],
+    )
+    info["windowed"] = {"manifest": m, "skipped": skipped}
+
+    features_path = f"{work_dir}/stage_features"
+    f, m, skipped = tables.run_stage(
+        spark,
+        features_path,
+        "features",
+        lambda: textfeats.with_rant_stats(w),
+        config={"sf_dir": sf_dir},
+        input_paths=[windowed_path],
+    )
+    info["features"] = {"manifest": m, "skipped": skipped}
+    return f, info
 
 
 def feature_pipeline_from_df(

@@ -129,6 +129,64 @@ class TestLineageResume:
         assert tables.iceberg_available(spark) in (True, False)
 
 
+class TestStagedPipelineResume:
+    """Kill-resume on the FLAGSHIP pipeline (VERDICT r2 #7): the staged mode
+    must (a) produce the same features as the single-plan pipeline and
+    (b) recompute only missing stages after a simulated mid-pipeline kill."""
+
+    SF = "/root/testdata/sf0.001"
+
+    def test_staged_matches_single_plan_pipeline(self, spark, tmp_path):
+        from py_evalfilter_spark.plans.pipeline import (
+            feature_pipeline,
+            feature_pipeline_staged,
+        )
+
+        wd = str(tmp_path / "staged")
+        out, info = feature_pipeline_staged(spark, self.SF, wd)
+        assert [info[s]["skipped"] for s in ("derive", "windowed", "features")] == [
+            False, False, False,
+        ]
+        key = ["conv_id", "turn_idx"]
+        a = out.toPandas().sort_values(key).reset_index(drop=True)
+        b = feature_pipeline(spark, self.SF).toPandas().sort_values(key).reset_index(drop=True)
+        import pandas.testing as pdt
+
+        pdt.assert_frame_equal(a[sorted(a.columns)], b[sorted(b.columns)], rtol=1e-9)
+        # manifests carry per-partition lineage + throughput metrics
+        m = info["windowed"]["manifest"]
+        assert m["rows"] == len(a) and m["partitions"] and m["throughput_rows_per_sec"] > 0
+
+    def test_kill_resume_recomputes_only_missing_stages(self, spark, tmp_path):
+        import shutil
+
+        from py_evalfilter_spark.plans.pipeline import feature_pipeline_staged
+
+        wd = str(tmp_path / "staged_kill")
+        out1, _ = feature_pipeline_staged(spark, self.SF, wd)
+        n1 = out1.count()
+        # simulate a kill AFTER the derive stage committed: downstream
+        # stage outputs are gone, derive's snapshot survives
+        shutil.rmtree(f"{wd}/stage_windowed")
+        shutil.rmtree(f"{wd}/stage_features")
+        derive_manifest = tables.read_manifest(f"{wd}/stage_derive")
+        out2, info2 = feature_pipeline_staged(spark, self.SF, wd)
+        assert info2["derive"]["skipped"] is True  # NOT recomputed
+        assert info2["windowed"]["skipped"] is False
+        assert info2["features"]["skipped"] is False
+        assert tables.read_manifest(f"{wd}/stage_derive") == derive_manifest
+        assert out2.count() == n1
+
+    def test_config_change_invalidates_downstream_only(self, spark, tmp_path):
+        from py_evalfilter_spark.plans.pipeline import feature_pipeline_staged
+
+        wd = str(tmp_path / "staged_cfg")
+        feature_pipeline_staged(spark, self.SF, wd, gap_s=1800)
+        _, info = feature_pipeline_staged(spark, self.SF, wd, gap_s=900)
+        assert info["derive"]["skipped"] is True  # gap_s not in derive config
+        assert info["windowed"]["skipped"] is False  # fingerprint changed
+
+
 class TestStrictTarget:
     def test_strict_gvb_target_raises_on_unexpected_status(self, spark, csv_dir):
         """fuman_gvb_target raises on status outside {100, 2xx}
