@@ -873,28 +873,18 @@ FROM documents GROUP BY text
 
 def q_dedup_fuzzy_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P12 (deduplicate_rants.py:12-21) generalization: look-ahead-3 sliding
-    window within source, Levenshtein similarity ratio per candidate pair."""
+    window within source, Levenshtein similarity ratio per candidate pair
+    (threshold=None: every pair with its ratio — matches the SQL oracle).
+    Runs through operators.dedup.fuzzy_window_pairs, whose one-window-pass
+    + rebalance-before-Levenshtein shape is what makes the quadratic string
+    work use the whole cluster instead of #sources tasks."""
+    from ..operators import dedup
+
     docs = _read(spark, sf_dir, "documents")
-    w = Window.partitionBy("source").orderBy("doc_id")
-    pairs = None
-    for k in (1, 2, 3):
-        p = docs.select(
-            "doc_id",
-            F.lead("doc_id", k).over(w).alias("cand_id"),
-            F.round(
-                100.0
-                * (
-                    1.0
-                    - F.levenshtein("text", F.lead("text", k).over(w))
-                    / F.greatest(
-                        F.length("text"), F.length(F.lead("text", k).over(w)), F.lit(1)
-                    )
-                ),
-                2,
-            ).alias("ratio"),
-        ).filter(F.col("cand_id").isNotNull())
-        pairs = p if pairs is None else pairs.unionByName(p)
-    return pairs
+    return dedup.fuzzy_window_pairs(
+        docs, "doc_id", "text", order_col="doc_id", partition_col="source",
+        lookahead=3, threshold=None,
+    ).withColumnRenamed("dup_id", "cand_id")
 
 
 SQL_DEDUP_FUZZY_WINDOW = """

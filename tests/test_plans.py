@@ -140,6 +140,17 @@ class TestBenchedQueryPlans:
         # the ignore-nulls last() struct fill is the as-of operator itself
         assert "Window" in plan and "last(" in plan
 
+    def test_dedup_fuzzy_rebalances_before_levenshtein(self, spark):
+        """The O(len^2) Levenshtein must run AFTER a round-robin Exchange,
+        not inside the source-partitioned window stage whose parallelism is
+        #sources (measured 3.9x at sf0.1: 4.4s -> 1.1s with 20 sources)."""
+        plan = self._benched(spark, "dedup_fuzzy_window")
+        assert "levenshtein" in plan and "RoundRobinPartitioning" in plan
+        # plans print consumer-first: levenshtein (downstream) before the
+        # rebalance Exchange, which is before the Window (upstream)
+        assert plan.index("levenshtein") < plan.index("RoundRobinPartitioning")
+        assert plan.index("RoundRobinPartitioning") < plan.index("Window")
+
     def test_quality_score_reads_text(self, spark):
         # quality features are JVM expressions over text; a pruned plan
         # would scan no text bytes at all
