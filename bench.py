@@ -73,6 +73,14 @@ CONSUME: dict[str, list[str]] = {
         "count(*) AS n", "sum(tokens) AS a", "sum(kanji) AS b",  # Arrow UDF
         "sum(avgTokenLength) AS c", "sum(turn_idx) AS d",        # derivation
     ],
+    "hashing_vectorize": [
+        "count(*) AS n", "sum(index) AS a",   # md5 bucket hash
+        "sum(value) AS b",                    # signed-count aggregation
+    ],
+    "smote": [
+        "count(*) AS n", "sum(synth_sum_e4) AS a",  # zip_with interpolation
+        "sum(gap_r) AS b", "sum(nbr_id) AS c",      # hash streams + kNN rank
+    ],
 }
 
 BENCH_QUERIES = list(CONSUME)

@@ -154,19 +154,23 @@ def main() -> None:
     small_levels: dict[int, dict] = {}
     do_cluster = os.environ.get("SCALING_CLUSTER", "1") == "1"
     do_small = os.environ.get("SCALING_SMALL_CLUSTER", "1") == "1"
+    # SCALING_LOCAL=0 skips the thread-mode levels for targeted re-samples
+    # of the executor pairs (the thread rows are already multi-sampled)
+    do_local = os.environ.get("SCALING_LOCAL", "1") == "1"
     ceiling = hardware_ceiling()  # BEFORE any JVM: an idle-box capacity
     # interleave levels across fresh JVMs; keep the best JVM per level
     # (occasional JVMs on this VM land in a degraded state, 3-7x slower)
     for _ in range(JVMS_PER_LEVEL):
-        for cpus in (8, 32):
-            r = run_level(cpus)
-            cur = levels.get(cpus)
-            if cur is None:
-                levels[cpus] = r
-            else:
-                for key in ("pipeline", "map_stage", "shuffle"):
-                    cur[key] = min(cur[key], r[key])
-            print(f"local[{cpus}]: {r}")
+        if do_local:
+            for cpus in (8, 32):
+                r = run_level(cpus)
+                cur = levels.get(cpus)
+                if cur is None:
+                    levels[cpus] = r
+                else:
+                    for key in ("pipeline", "map_stage", "shuffle"):
+                        cur[key] = min(cur[key], r[key])
+                print(f"local[{cpus}]: {r}")
         if do_cluster:
             for nw, master in cluster_specs.items():
                 r = run_level(nw * 8, master=master)
@@ -187,10 +191,8 @@ def main() -> None:
                     for key in ("pipeline", "map_stage", "shuffle"):
                         cur[key] = min(cur[key], r[key])
                 print(f"{master}: {r}")
-    rows = levels[8]["rows"]
-
-    def eff(key: str) -> float:
-        return round((levels[8][key] / levels[32][key]) / 4.0, 3)
+    any_levels = levels or cluster_levels or small_levels
+    rows = next(iter(any_levels.values()))["rows"]
 
     result = {
         "sf_dir": SF_DIR,
@@ -198,15 +200,23 @@ def main() -> None:
         "rows": rows,
         "N_cores": 8,
         "4N_cores": 32,
-        "pipeline_thr_N": round(rows / levels[8]["pipeline"], 1),
-        "pipeline_thr_4N": round(rows / levels[32]["pipeline"], 1),
-        "pipeline_efficiency": eff("pipeline"),
-        "map_stage_efficiency": eff("map_stage"),
-        "shuffle_efficiency": eff("shuffle"),
         "hardware_ceiling_efficiency": ceiling,
-        "map_stage_normalized": round(eff("map_stage") / ceiling, 3) if ceiling else None,
-        "pipeline_normalized": round(eff("pipeline") / ceiling, 3) if ceiling else None,
     }
+    if levels:
+        def eff(key: str) -> float:
+            return round((levels[8][key] / levels[32][key]) / 4.0, 3)
+
+        result.update(
+            {
+                "pipeline_thr_N": round(rows / levels[8]["pipeline"], 1),
+                "pipeline_thr_4N": round(rows / levels[32]["pipeline"], 1),
+                "pipeline_efficiency": eff("pipeline"),
+                "map_stage_efficiency": eff("map_stage"),
+                "shuffle_efficiency": eff("shuffle"),
+                "map_stage_normalized": round(eff("map_stage") / ceiling, 3) if ceiling else None,
+                "pipeline_normalized": round(eff("pipeline") / ceiling, 3) if ceiling else None,
+            }
+        )
     if cluster_levels:
         def ceff(key: str) -> float:
             return round((cluster_levels[1][key] / cluster_levels[4][key]) / 4.0, 3)
@@ -259,17 +269,18 @@ def main() -> None:
                 "| measurement | rows | sec @ local[8] | sec @ local[32] | efficiency | notes |\n"
                 "|---|---|---|---|---|---|\n"
             )
-        fp.write(
-            f"| full pipeline ({SF_DIR} x{MULTIPLIER}) | {rows} | {levels[8]['pipeline']} | "
-            f"{levels[32]['pipeline']} | {result['pipeline_efficiency']} | "
-            f"{result['pipeline_thr_4N']} turns/s @4N |\n"
-            f"| map stage (Arrow feature map) | {rows} | {levels[8]['map_stage']} | "
-            f"{levels[32]['map_stage']} | {result['map_stage_efficiency']} | "
-            f"normalized vs HW ceiling {ceiling}: {result['map_stage_normalized']} |\n"
-            f"| pure shuffle baseline | {rows} | {levels[8]['shuffle']} | "
-            f"{levels[32]['shuffle']} | {result['shuffle_efficiency']} | "
-            f"single-box memory-bus bound |\n"
-        )
+        if levels:
+            fp.write(
+                f"| full pipeline ({SF_DIR} x{MULTIPLIER}) | {rows} | {levels[8]['pipeline']} | "
+                f"{levels[32]['pipeline']} | {result['pipeline_efficiency']} | "
+                f"{result['pipeline_thr_4N']} turns/s @4N |\n"
+                f"| map stage (Arrow feature map) | {rows} | {levels[8]['map_stage']} | "
+                f"{levels[32]['map_stage']} | {result['map_stage_efficiency']} | "
+                f"normalized vs HW ceiling {ceiling}: {result['map_stage_normalized']} |\n"
+                f"| pure shuffle baseline | {rows} | {levels[8]['shuffle']} | "
+                f"{levels[32]['shuffle']} | {result['shuffle_efficiency']} | "
+                f"single-box memory-bus bound |\n"
+            )
         if cluster_levels:
             fp.write(
                 f"| full pipeline, REAL executor boundary (local-cluster 1x8 -> 4x8 JVMs) | {rows} | "

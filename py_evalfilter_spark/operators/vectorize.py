@@ -247,6 +247,69 @@ def transform_counts(
     ).select(*id_cols, "index", "value")
 
 
+def hashing_bucket_expr(term, n_features: int):
+    """Portable term→bucket hash: first 8 hex chars of md5, mod n_features.
+
+    md5 is identical across engines (unlike xxhash64/murmur3), so the
+    hashing vectorizer carries a DuckDB oracle:
+    ``CAST('0x' || substr(md5(term),1,8) AS BIGINT) % n``."""
+    h = F.conv(F.substring(F.md5(term), 1, 8), 16, 10).cast("long")
+    return F.pmod(h, F.lit(n_features)).cast("int")
+
+
+def hashing_sign_expr(term):
+    """±1 from the parity of md5's 9th hex nibble — an independent bit
+    stream from the bucket (chars 1-8), mirroring sklearn's
+    alternate_sign: collisions cancel in expectation instead of
+    accumulating."""
+    nibble = F.conv(F.substring(F.md5(term), 9, 1), 16, 10).cast("int")
+    return (F.lit(1) - (nibble % 2) * 2).cast("long")
+
+
+def transform_hashing(
+    df: DataFrame,
+    n_features: int = 1 << 18,
+    text_col: str = "text",
+    id_cols: list[str] | None = None,
+    tokenizer: str = "rant",
+    ngram_range: tuple[int, int] = (1, 1),
+    terms: DataFrame | None = None,
+    stop_words: frozenset | None = None,
+    alternate_sign: bool = True,
+    l2_norm: bool = False,
+) -> DataFrame:
+    """Fit-free hashing-trick vectorizer (sklearn HashingVectorizer
+    semantics) → long-format (id_cols..., index, value).
+
+    THE vectorizer scale path: no vocabulary fit job, no broadcast state,
+    no driver round trip — one tokenize + one groupBy shuffle regardless
+    of corpus size, and the feature space is fixed up front so two
+    independently processed corpora are feature-aligned by construction
+    (what CountVectorizer cannot give you across 100 TB re-runs).
+    Trade-off (same as sklearn's): no inverse vocabulary, rare collisions;
+    ``alternate_sign`` makes collisions cancel in expectation.  Values are
+    exact signed BIGINT counts unless ``l2_norm``.
+    """
+    id_cols = id_cols or ["conv_id", "turn_idx"]
+    if terms is None:
+        terms = _terms(df, text_col, id_cols, tokenizer, ngram_range, stop_words)
+    sign = hashing_sign_expr("term") if alternate_sign else F.lit(1).cast("long")
+    hashed = terms.select(
+        *id_cols,
+        hashing_bucket_expr(F.col("term"), n_features).alias("index"),
+        sign.alias("sign"),
+    )
+    out = hashed.groupBy(*id_cols, "index").agg(F.sum("sign").alias("value"))
+    if not l2_norm:
+        return out
+    wnorm = Window.partitionBy(*id_cols)
+    norm = F.sqrt(F.sum(F.col("value") * F.col("value")).over(wnorm))
+    return out.withColumn(
+        "value",
+        F.col("value").cast("double") / F.when(norm == 0.0, 1.0).otherwise(norm),
+    )
+
+
 def vocabulary_to_list(vocabulary: DataFrame) -> list[str]:
     """Small-vocab convenience for tests/exports (index order)."""
     return [r["term"] for r in vocabulary.orderBy("index").select("term").collect()]

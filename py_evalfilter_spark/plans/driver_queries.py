@@ -1500,6 +1500,93 @@ def q_vectorize_pos_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("conv_id", "turn_idx", "index", F.round("value", 6).alias("value"))
 
 
+def q_hashing_vectorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 at scale (fit-free): hashing-trick vectorizer over the documents
+    word tokens — md5-bucket index + alternate-sign counts, no vocabulary
+    job (operators/vectorize.py:transform_hashing)."""
+    from ..operators import vectorize
+
+    toks = _tokens_df(spark, sf_dir)
+    return vectorize.transform_hashing(
+        None, n_features=4096, id_cols=["doc_id"], terms=toks
+    )
+
+
+SQL_HASHING_VECTORIZE = f"""
+WITH {TOKENS_CTE.strip().lstrip()},
+hashed AS (
+  SELECT doc_id,
+         CAST(CAST(concat('0x', substr(md5(term), 1, 8)) AS BIGINT) % 4096 AS INTEGER) AS index,
+         CASE WHEN CAST(concat('0x', substr(md5(term), 9, 1)) AS INTEGER) % 2 = 0
+              THEN 1 ELSE -1 END AS sign
+  FROM tokens
+)
+SELECT doc_id, index, CAST(SUM(sign) AS BIGINT) AS value
+FROM hashed GROUP BY doc_id, index
+"""
+
+
+def q_smote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 (SMOTE, reference tests/smote.py:1-38): deterministic hash-stream
+    SMOTE over the embeddings table's label-5 class — exact within-class
+    kNN (k=3), 2 synthetic rows per base row.  The synthetic vector leaves
+    the result as an exact integer digest (per-element e4-scaled BIGINT
+    sum, the money convention) so the hash compare never sees raw
+    double-array serialization."""
+    from ..operators import smote
+
+    emb = _read(spark, sf_dir, "embeddings")
+    out = smote.smote_oversample(emb, minority_label=5, k=3, n_per_base=2)
+    digest = F.aggregate(
+        F.transform("synth", lambda v: F.round(v * 10000, 0).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    return out.select(
+        "base_id",
+        "rep",
+        "nbr_id",
+        F.round("gap", 6).alias("gap_r"),
+        digest.alias("synth_sum_e4"),
+        "label",
+    )
+
+
+SQL_SMOTE = """
+WITH m AS (
+  SELECT vec_id AS base_id, CAST(embedding AS DOUBLE[]) AS base_vec
+  FROM embeddings WHERE label = 5
+),
+pairs AS (
+  SELECT a.base_id, a.base_vec, b.base_id AS nbr_id, b.base_vec AS nbr_vec,
+         ROUND(list_sum(list_transform(generate_series(1, len(a.base_vec)),
+               i -> (a.base_vec[i] - b.base_vec[i]) * (a.base_vec[i] - b.base_vec[i]))), 6) AS dist2
+  FROM m a JOIN m b ON a.base_id <> b.base_id
+),
+knn AS (
+  SELECT * EXCLUDE (dist2),
+         CAST(ROW_NUMBER() OVER (PARTITION BY base_id ORDER BY dist2, nbr_id) AS INTEGER) AS nbr_rank
+  FROM pairs
+  QUALIFY nbr_rank <= 3
+),
+picked AS (
+  SELECT k.*, MAX(nbr_rank) OVER (PARTITION BY base_id) AS n_nbrs,
+         CAST(r.rep AS INTEGER) AS rep,
+         ((k.base_id % 1000003) * 1103515245 + r.rep * 12345 + 42) % 2147483647 AS h1,
+         ((k.base_id % 1000003) * 69069 + r.rep * 54321 + 294) % 2147483647 AS h2
+  FROM knn k CROSS JOIN generate_series(0, 1) r(rep)
+)
+SELECT base_id, rep, nbr_id,
+       ROUND(CAST(h2 AS DOUBLE) / 2147483647.0, 6) AS gap_r,
+       CAST(list_sum(list_transform(generate_series(1, len(base_vec)),
+           i -> CAST(ROUND((base_vec[i] + (CAST(h2 AS DOUBLE) / 2147483647.0)
+                            * (nbr_vec[i] - base_vec[i])) * 10000, 0) AS BIGINT))) AS BIGINT) AS synth_sum_e4,
+       5 AS label
+FROM picked
+WHERE nbr_rank = CAST(h1 % LEAST(3, n_nbrs) AS INTEGER) + 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1554,6 +1641,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_reference_chain": q_dedup_reference_chain,
     "langid": q_langid,
     "fingerprint": q_fingerprint,
+    "smote": q_smote,
+    "hashing_vectorize": q_hashing_vectorize,
 }
 
 ORACLES: dict[str, str] = {
@@ -1599,6 +1688,8 @@ ORACLES: dict[str, str] = {
     "ann_lsh_exhaustive": SQL_KNN_COSINE,  # single bucket ≡ exact brute force
     "langid": SQL_LANGID,
     "dedup_reference_chain": SQL_DEDUP_REFERENCE_CHAIN,
+    "smote": SQL_SMOTE,
+    "hashing_vectorize": SQL_HASHING_VECTORIZE,
     # rows-only (Arrow-UDF tokenizers / banded-LSH internals / crc32 not
     # expressible in ANSI SQL; allclose- or recall-tested in pytest):
     # rant_stats_features, vectorize_type_ngrams, vectorize_pos_tfidf,

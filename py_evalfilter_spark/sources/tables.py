@@ -9,6 +9,12 @@ directory commit + manifest).  On a real cluster with the Iceberg catalog
 configured, `write_stage` commits a snapshot and the manifest records its
 snapshot id.
 
+Test status (honest): every test in this repo exercises the PARQUET
+fallback branch — the Iceberg branch has never run here (no jar in the
+sandbox), so it is written-to-spec but UNTESTED BY ENVIRONMENT.  First
+deployment against a real Iceberg catalog should smoke `write_stage` /
+`read_stage` round-trip before trusting resume on that format.
+
 Manifest (one JSON per stage output):
   {stage, rows, wall_ms, input_paths, config,
    partitions: [{file, rows}...]}      # per-partition lineage
@@ -135,3 +141,52 @@ def run_stage(
         df, path, stage, config=config, input_paths=input_paths
     )
     return spark.read.parquet(path), manifest, False
+
+
+# ---------------------------------------------------------------------------
+# bucketed conversation store
+# ---------------------------------------------------------------------------
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int,
+    sort_cols: list[str] | None = None,
+    path: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist a frame hash-bucketed (and per-bucket sorted) on its key.
+
+    The 100 TB layout lever for this engine: a transcript corpus bucketed
+    by conv_id makes EVERY downstream per-conversation operation — window
+    chains, sessionization, session aggs, the as-of union-window, the
+    fuzzy-dedup walk — read shuffle-free, because the scan's output
+    partitioning (hashpartitioning(bucket_cols, n_buckets)) already
+    satisfies the operators' distribution requirement.  Two tables
+    bucketed with the SAME key and bucket count join with no Exchange on
+    either side (plan-tested in tests/test_plans.py).  Pick n_buckets so a
+    bucket ~ one executor task at target scale (e.g. 100 TB / 128 MB ≈
+    bucket into tens of thousands); bucket counts must match across tables
+    meant to be co-joined.
+
+    Storage note: bucketing goes through the session catalog
+    (saveAsTable); `path` makes it an external table so the files live
+    with the rest of the stage outputs.  Iceberg's equivalent is a
+    bucket(N, col) partition transform — same plan effect once the jar is
+    present (see module docstring).
+    """
+    w = df.write.mode(mode).format("parquet").bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    if path:
+        w = w.option("path", path)
+    w.saveAsTable(table)
+
+
+def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
+    """Read a bucketed table back WITH its bucket metadata (spark.table —
+    a plain spark.read.parquet over the same files would forget the
+    bucketing and reintroduce the shuffles)."""
+    return spark.table(table)

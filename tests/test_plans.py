@@ -157,12 +157,79 @@ class TestBenchedQueryPlans:
         plan = self._benched(spark, "quality_score")
         assert "text" in plan.split("ReadSchema:")[1][:300]
 
+    def test_hashing_vectorize_keeps_hash_and_agg(self, spark):
+        # the md5 bucket hash and the signed-count aggregation are the op;
+        # a pruned plan would count tokens without hashing anything
+        plan = self._benched(spark, "hashing_vectorize")
+        assert "md5" in plan and "conv(" in plan
+        assert "HashAggregate" in plan
+
+    def test_smote_keeps_knn_and_interpolation(self, spark):
+        # within-class kNN = broadcast non-equi self-join + rank window;
+        # interpolation = zip_with over both vectors
+        plan = self._benched(spark, "smote")
+        assert "BroadcastNestedLoopJoin" in plan
+        assert "Window" in plan
+        assert "zip_with" in plan and "Python" not in plan
+
     def test_every_benched_query_runs_and_is_nonempty(self, spark):
         import bench
 
         for name in bench.BENCH_QUERIES:
             row = bench.benched_df(spark, name, SF).collect()[0]
             assert row["n"] > 0, name
+
+
+class TestBucketedStore:
+    def test_bucketed_join_and_window_are_shuffle_free(self, spark, tmp_path):
+        """The conversation-store layout (tables.write_bucketed): two tables
+        bucketed by conv_id with equal bucket counts join with NO Exchange,
+        and a per-conv window over the bucketed scan needs NO Exchange —
+        the scan's hashpartitioning already satisfies both."""
+        from pyspark.sql import Window
+
+        from py_evalfilter_spark.sources import tables
+
+        t = dq.transcripts_df(spark, SF)
+        s = t.groupBy("conv_id").agg(F.count(F.lit(1)).alias("n_turns"))
+        tables.write_bucketed(
+            t, "bt_turns", ["conv_id"], 8, sort_cols=["conv_id"],
+            path=str(tmp_path / "bt_turns"),
+        )
+        tables.write_bucketed(
+            s, "bt_stats", ["conv_id"], 8, sort_cols=["conv_id"],
+            path=str(tmp_path / "bt_stats"),
+        )
+        bt = tables.read_bucketed(spark, "bt_turns")
+        bs = tables.read_bucketed(spark, "bt_stats")
+
+        # At test SF the stats side fits the broadcast threshold, which makes
+        # the planner broadcast and SKIP bucketed reading ("Bucketed: false
+        # (disabled by query planner)").  The layout exists for the 100 TB
+        # case where neither side broadcasts — pin that regime.
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = bt.join(bs, "conv_id").selectExpr(
+                "count(*) AS n", "sum(n_turns) AS s")
+            jplan = _plan(bt.join(bs, "conv_id"))
+            assert "Exchange" not in jplan, jplan
+            assert joined.collect()[0]["n"] > 0
+
+            w = Window.partitionBy("conv_id").orderBy("turn_idx")
+            wdf = bt.withColumn("r", F.row_number().over(w))
+            wplan = _plan(wdf)
+            assert "Window" in wplan and "Exchange hashpartitioning" not in wplan, wplan
+
+            # a plain parquet read of the SAME files forgets the bucketing
+            raw = spark.read.parquet(str(tmp_path / "bt_turns"))
+            rejoin = _plan(raw.join(bs, "conv_id"))
+            assert "Exchange" in rejoin
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+        spark.sql("DROP TABLE IF EXISTS bt_turns")
+        spark.sql("DROP TABLE IF EXISTS bt_stats")
 
 
 class TestUdfProperties:

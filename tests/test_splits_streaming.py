@@ -38,6 +38,67 @@ class TestSplits:
         assert 0.15 < frac < 0.25
 
 
+class TestSmote:
+    """X4 — reference tests/smote.py:1-38 semantics, deterministic re-expression."""
+
+    def _minority(self, spark):
+        return spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+    def test_count_and_label(self, spark):
+        from py_evalfilter_spark.operators import smote
+
+        emb = self._minority(spark)
+        lbl = emb.groupBy("label").count().orderBy("count", "label").first()["label"]
+        n_min = emb.filter(F.col("label") == lbl).count()
+        out = smote.smote_oversample(emb, minority_label=lbl, k=3, n_per_base=2)
+        pdf = out.toPandas()
+        assert len(pdf) == n_min * 2  # exactly n_per_base synthetic rows per base
+        assert (pdf["label"] == lbl).all()
+        assert pdf.groupby("base_id").size().eq(2).all()
+
+    def test_synth_on_segment_and_deterministic(self, spark):
+        from py_evalfilter_spark.operators import smote
+
+        emb = self._minority(spark)
+        out = smote.smote_oversample(emb, minority_label=0, k=3, n_per_base=2)
+        a = out.orderBy("base_id", "rep").toPandas()
+        b = smote.smote_oversample(
+            emb, minority_label=0, k=3, n_per_base=2
+        ).orderBy("base_id", "rep").toPandas()
+        assert a.drop(columns="synth").equals(b.drop(columns="synth"))
+        assert all((x == y).all() for x, y in zip(a["synth"], b["synth"]))
+        # every coordinate of the synthetic vector lies between base and nbr
+        vecs = {
+            r["vec_id"]: [float(v) for v in r["embedding"]]
+            for r in emb.filter(F.col("label") == 0).collect()
+        }
+        assert (a["gap"] > 0).all() and (a["gap"] < 1).all()
+        for _, r in a.iterrows():
+            base, nbr = vecs[r["base_id"]], vecs[r["nbr_id"]]
+            for s, x, y in zip(r["synth"], base, nbr):
+                lo, hi = min(x, y), max(x, y)
+                assert lo - 1e-9 <= s <= hi + 1e-9
+
+    def test_neighbor_injection_matches_exact(self, spark):
+        """`neighbors=` (the LSH-at-scale hook) reproduces the default path
+        when fed the exact kNN frame."""
+        from py_evalfilter_spark.operators import smote
+
+        emb = self._minority(spark)
+        m = emb.filter(F.col("label") == 1).select(
+            F.col("vec_id").alias("base_id"),
+            F.transform("embedding", lambda x: x.cast("double")).alias("base_vec"),
+        )
+        knn = smote.knn_within_class(m, k=3)
+        via_inject = smote.smote_oversample(
+            emb, minority_label=1, k=3, neighbors=knn
+        ).orderBy("base_id", "rep").toPandas()
+        default = smote.smote_oversample(emb, minority_label=1, k=3).orderBy(
+            "base_id", "rep"
+        ).toPandas()
+        assert via_inject.drop(columns="synth").equals(default.drop(columns="synth"))
+
+
 class TestStreamingSessions:
     def test_session_agg_matches_batch(self, spark, transcripts_pdf, tmp_path):
         from py_evalfilter_spark.streaming import sessions
@@ -69,6 +130,40 @@ class TestStreamingSessions:
         gs = got.groupby("conv_id")["n_turns"].apply(lambda s: sorted(s)).sort_index()
         ws = want.groupby("conv_id")["n_turns"].apply(lambda s: sorted(s)).sort_index()
         assert (gs == ws).all()
+
+    def test_streaming_hashing_vectorizer_matches_batch(
+        self, spark, transcripts_pdf, tmp_path
+    ):
+        """transform_hashing is fit-free (no broadcast vocabulary state), so
+        the SAME call vectorizes a stream — feature indexes are aligned with
+        every batch run by construction."""
+        from py_evalfilter_spark.operators import vectorize
+        from py_evalfilter_spark.streaming import sessions
+
+        src = str(tmp_path / "turns_hash")
+        sdf = spark.createDataFrame(transcripts_pdf)
+        sdf.write.parquet(src)
+
+        stream = spark.readStream.schema(sdf.schema).parquet(src)
+        sessions.run_stream_once(
+            stream,
+            lambda s: vectorize.transform_hashing(s, n_features=256, tokenizer="rant"),
+            "stream_hashed",
+            output_mode="complete",
+        )
+        got = (
+            spark.sql("SELECT * FROM stream_hashed")
+            .toPandas()
+            .sort_values(["conv_id", "turn_idx", "index"])
+            .reset_index(drop=True)
+        )
+        want = (
+            vectorize.transform_hashing(sdf, n_features=256, tokenizer="rant")
+            .toPandas()
+            .sort_values(["conv_id", "turn_idx", "index"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
 
     def test_streaming_features_run(self, spark, transcripts_pdf, tmp_path):
         from py_evalfilter_spark.streaming import sessions

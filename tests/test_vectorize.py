@@ -140,3 +140,48 @@ def test_fit_vocabulary_stop_words(spark):
     assert "test" in terms and "data" in terms
     out = vectorize.transform_counts(sdf, vocab, stop_words=tc.STOPWORDS_JA).toPandas()
     assert len(out) > 0
+
+
+def test_transform_hashing_fit_free_alignment(spark):
+    """HashingVectorizer semantics: same term -> same index with NO shared
+    fitted state (the cross-corpus alignment CountVectorizer can't give),
+    indexes bounded by n_features, values exact signed counts."""
+    import pandas as pd
+
+    from py_evalfilter_spark.operators import vectorize
+
+    def corpus(rows):
+        return spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "conv_id": [f"c{i}" for i in range(len(rows))],
+                    "turn_idx": pd.array([0] * len(rows), dtype="int32"),
+                    "text": rows,
+                }
+            )
+        )
+
+    a = vectorize.transform_hashing(
+        corpus(["alpha beta beta", "gamma alpha"]), n_features=64, tokenizer="rant"
+    ).toPandas()
+    b = vectorize.transform_hashing(
+        corpus(["beta delta", "alpha epsilon"]), n_features=64, tokenizer="rant"
+    ).toPandas()
+    assert (a["index"] >= 0).all() and (a["index"] < 64).all()
+    # doc c0 of corpus A has beta twice: its bucket's |value| for that doc is 2
+    # (signs are per-term constants, so repeats accumulate, never cancel)
+    assert 2 in a["value"].abs().values
+    # alignment: alpha hashes to the same bucket in both corpora
+    def bucket_of(pdf, doc, exclude=()):
+        sub = pdf[pdf["conv_id"] == doc]
+        return set(sub["index"]) - set(exclude)
+
+    a_c1 = bucket_of(a, "c1")  # gamma alpha
+    b_c1 = bucket_of(b, "c1")  # alpha epsilon
+    assert a_c1 & b_c1  # the shared term (alpha) lands in the same bucket
+
+    # l2 norm path: per-doc vector norms are 1
+    n = vectorize.transform_hashing(
+        corpus(["alpha beta gamma"]), n_features=64, tokenizer="rant", l2_norm=True
+    ).toPandas()
+    assert abs((n["value"] ** 2).sum() - 1.0) < 1e-9
