@@ -81,6 +81,15 @@ CONSUME: dict[str, list[str]] = {
         "count(*) AS n", "sum(synth_sum_e4) AS a",  # zip_with interpolation
         "sum(gap_r) AS b", "sum(nbr_id) AS c",      # hash streams + kNN rank
     ],
+    "repetition_stats": [
+        "count(*) AS n", "sum(n_lines) AS a",            # line explode+agg
+        "sum(dup_line_char_frac) AS b",                  # dup-char weighting
+        "sum(top_bigram_frac) AS c",                     # bigram explode+agg
+    ],
+    "decontaminate": [
+        "count(*) AS n", "sum(n_shared) AS a",  # n-gram build + broadcast match
+        "sum(doc_id) AS b",
+    ],
 }
 
 BENCH_QUERIES = list(CONSUME)

@@ -1,0 +1,284 @@
+"""Corpus-curation operators for LLM training-data pipelines: repetition
+quality stats, benchmark decontamination, sequence packing, weighted source
+mixing.
+
+These extend the reference's filter/dedup surface (deduplicate_rants.py,
+generate_dataset_gvsb.py's length filter) to the operations a web-scale
+pretraining pipeline runs over a `documents` corpus.  The repetition rules
+follow the published Gopher heuristics (Rae et al. 2021, "Scaling Language
+Models", appendix A1.1): fraction of duplicate lines, fraction of characters
+in duplicate lines, and the character share of the most frequent word
+bigram.  Everything stays in JVM column expressions / relational ops —
+no Python in the hot path — and each operator has a DuckDB oracle in
+plans/driver_queries.py.
+
+Scale notes (100 TB):
+  * repetition_stats: explode + two map-side-combining groupBys on doc_id —
+    linear work, partial aggregation before each Exchange; no per-doc
+    quadratic higher-order-function scans.
+  * decontaminate: the benchmark side (eval sets) is tiny vs the corpus, so
+    its distinct n-grams broadcast; the corpus side never shuffles for the
+    match itself — only the hit-id set (<< corpus) reduces.
+  * pack_sequences: one window per pack group.  Pack within bounded groups
+    (source × shard), never a single global ORDER BY — a global pack order
+    is a single-partition sort at corpus scale.
+  * mix_sources: pure map-side filter against a broadcast rates dim; the
+    md5-derived uniform is engine-portable (same idiom as
+    vectorize._hash_bucket) so the exact sample is reproducible anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+WORD_RE = "[^a-z0-9]+"
+
+
+def _words(text_col: str):
+    """lowercased regex word tokens, empties dropped (matches the
+    driver_queries TOKENS_CTE tokenization exactly)."""
+    return F.filter(F.split(F.lower(F.col(text_col)), WORD_RE), lambda x: x != "")
+
+
+def _ngrams_of(arr, n: int):
+    """word n-grams from an ALREADY-MATERIALIZED array column.
+
+    `arr` must be a plain attribute (not the split expression itself):
+    higher-order-function lambdas get no subexpression elimination, so
+    `slice(split(text), i, n)` re-tokenizes the text once per position —
+    O(words²) per row, measured 5-8x on the sf0.1 bench.  Callers project
+    the words array first (CollapseProject keeps a non-cheap alias that is
+    referenced more than once in its own Project)."""
+    return F.when(
+        F.size(arr) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(arr) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(arr, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style repetition stats
+# ---------------------------------------------------------------------------
+
+
+def repetition_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document repetition quality stats (Gopher A1.1 subset):
+
+      n_lines             non-blank trimmed lines
+      dup_line_frac       1 - distinct_lines / n_lines
+      dup_line_char_frac  chars in lines occurring >1x / chars in all lines
+      top_bigram_frac     occurrences-weighted char share of the most
+                          frequent word bigram (ties: lexicographically
+                          largest bigram — deterministic either way, the
+                          share is what matters)
+
+    ONE text scan: lines and bigrams explode together as tagged (kind, val)
+    items, then one map-side-combined (id, kind, val) count and one final
+    per-id conditional aggregation — no second scan of the (at 100 TB,
+    dominant) text column and no stats-side join.  Returns one row per
+    input document that has at least one non-blank line.
+    """
+    lines_arr = F.filter(
+        F.transform(F.split(F.col(text_col), "\\n"), F.trim), lambda x: x != ""
+    )
+    base = df.select(
+        id_col, lines_arr.alias("_lines"), _words(text_col).alias("_w")
+    )
+    items = F.concat(
+        F.transform(
+            F.col("_lines"), lambda x: F.struct(F.lit("L").alias("kind"), x.alias("val"))
+        ),
+        F.transform(
+            _ngrams_of(F.col("_w"), 2),
+            lambda x: F.struct(F.lit("B").alias("kind"), x.alias("val")),
+        ),
+    )
+    exploded = base.select(id_col, F.explode(items).alias("it")).select(
+        id_col, F.col("it.kind").alias("kind"), F.col("it.val").alias("val")
+    )
+    counts = exploded.groupBy(id_col, "kind", "val").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    is_line = F.col("kind") == "L"
+    is_gram = F.col("kind") == "B"
+    line_cnt = F.when(is_line, F.col("cnt"))
+    gram_cnt = F.when(is_gram, F.col("cnt"))
+    stats = counts.groupBy(id_col).agg(
+        F.sum(line_cnt).alias("n_lines"),
+        F.round(1.0 - F.count(line_cnt) / F.sum(line_cnt), 4).alias("dup_line_frac"),
+        F.round(
+            F.sum(
+                F.when(is_line & (F.col("cnt") > 1), F.col("cnt") * F.length("val")).otherwise(0)
+            )
+            / F.greatest(F.sum(F.when(is_line, F.col("cnt") * F.length("val")).otherwise(0)), F.lit(1)),
+            4,
+        ).alias("dup_line_char_frac"),
+        F.max(F.when(is_gram, F.struct("cnt", F.col("val").alias("bigram")))).alias("top"),
+        F.sum(F.when(is_gram, F.col("cnt") * F.length("val")).otherwise(0)).alias("totb"),
+    )
+    return stats.filter(F.col("n_lines").isNotNull()).select(
+        id_col,
+        "n_lines",
+        "dup_line_frac",
+        "dup_line_char_frac",
+        F.coalesce(
+            F.round(
+                F.col("top.cnt") * F.length("top.bigram") / F.greatest("totb", F.lit(1)),
+                4,
+            ),
+            F.lit(0.0),
+        ).alias("top_bigram_frac"),
+    )
+
+
+def filter_repetitive(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_dup_line_frac: float = 0.30,
+    max_dup_line_char_frac: float = 0.20,
+    max_top_bigram_frac: float = 0.18,
+) -> DataFrame:
+    """Drop documents exceeding the Gopher repetition thresholds (defaults
+    are the published cut-offs).  Anti-join on the small failing-id set —
+    the corpus side is filtered without re-shuffling its payload columns."""
+    stats = repetition_stats(df, id_col, text_col)
+    bad = stats.filter(
+        (F.col("dup_line_frac") > max_dup_line_frac)
+        | (F.col("dup_line_char_frac") > max_dup_line_char_frac)
+        | (F.col("top_bigram_frac") > max_top_bigram_frac)
+    ).select(id_col)
+    return df.join(bad, id_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination (n-gram overlap)
+# ---------------------------------------------------------------------------
+
+
+def _exploded_ngrams(df: DataFrame, n: int, text_col: str, *keep_cols: str) -> DataFrame:
+    """(keep_cols..., ngram) — words materialized in their own Project
+    before the n-gram transform (see _ngrams_of)."""
+    base = df.select(*keep_cols, _words(text_col).alias("_w"))
+    return base.select(
+        *keep_cols, F.explode(_ngrams_of(F.col("_w"), n)).alias("ngram")
+    )
+
+
+def contamination_report(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus documents sharing ≥1 word n-gram with any benchmark document
+    (the standard train/test leakage check, e.g. GPT-3 appendix C /
+    Gopher A2): returns (id, n_shared) with n_shared = distinct shared
+    n-grams.  The benchmark n-gram set is distinct + broadcast — the corpus
+    is matched map-side and only the hits aggregate."""
+    bench_grams = _exploded_ngrams(benchmark, n, text_col).distinct()
+    corpus_grams = _exploded_ngrams(corpus, n, text_col, id_col)
+    return (
+        corpus_grams.join(F.broadcast(bench_grams), "ngram")
+        .groupBy(id_col)
+        .agg(F.count_distinct("ngram").alias("n_shared"))
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Remove contaminated documents: anti-join the corpus against the
+    contaminated-id set."""
+    hits = contamination_report(corpus, benchmark, n, id_col, text_col).select(id_col)
+    return corpus.join(hits, id_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# sequence packing (concat-then-chunk)
+# ---------------------------------------------------------------------------
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget: int,
+    by: str = "source",
+    order_col: str = "doc_id",
+    text_col: str = "text",
+    tokens_col: str | None = None,
+) -> DataFrame:
+    """Assign each document to a fixed-token-budget pack (training context
+    window): documents are concatenated in (by, order_col) order and chunked
+    every `budget` tokens; a document's pack is the chunk its first token
+    lands in — the deterministic "concat then chunk" packing used to build
+    pretraining batches.
+
+    Adds `n_tokens` (word-token count, matching the token_count query),
+    `pack_id` (0-based within the group) and `pack_offset` (token offset of
+    the document inside its pack).  One window Exchange per call; pack
+    within bounded groups at scale (see module docstring).
+    """
+    from pyspark.sql import Window
+
+    if tokens_col is None:
+        df = df.withColumn("n_tokens", F.size(_words(text_col)).cast("long"))
+        tokens_col = "n_tokens"
+    w = (
+        Window.partitionBy(by)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum(tokens_col).over(w), F.lit(0).cast("long"))
+    return df.withColumn(
+        "pack_id", F.floor(cum_before / budget).cast("long")
+    ).withColumn(
+        "pack_offset", (cum_before % budget).cast("long")
+    )
+
+
+# ---------------------------------------------------------------------------
+# weighted source mixing
+# ---------------------------------------------------------------------------
+
+
+def mix_sources(
+    df: DataFrame,
+    rates: dict[str, float],
+    seed: int = 42,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Deterministic weighted downsampling per source (data-mixing step:
+    e.g. upweight curated sources, downweight crawl).  Keep a row iff
+    u(id, seed) < rate[source], where u is an md5-derived uniform in [0,1)
+    — portable bit-for-bit to any engine (same idiom as the hashing
+    vectorizer), so the exact training subset is reproducible off-Spark.
+
+    The rates dict joins as a broadcast dim table; rows whose source has no
+    rate are dropped (explicit mixing contract).  Pure map-side — no corpus
+    shuffle."""
+    spark = df.sparkSession
+    rates_df = spark.createDataFrame(
+        sorted(rates.items()), f"{source_col} string, rate double"
+    )
+    u = (
+        F.conv(F.substring(F.md5(F.concat_ws(":", F.col(id_col), F.lit(seed))), 1, 8), 16, 10)
+        .cast("long")
+        % 1_000_000
+    ) / 1_000_000.0
+    return (
+        df.join(F.broadcast(rates_df), source_col)
+        .withColumn("u", u)
+        .filter(F.col("u") < F.col("rate"))
+        .drop("u", "rate")
+    )

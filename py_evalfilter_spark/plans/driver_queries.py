@@ -1587,6 +1587,165 @@ WHERE nbr_rank = CAST(h1 % LEAST(3, n_nbrs) AS INTEGER) + 1
 """
 
 
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality stats (operators/corpus.py) — the
+    pretraining-quality analogue of the reference's length filter
+    (generate_dataset_gvsb.py:64).  The corpus texts are single-line, so
+    lines are derived deterministically (every word its own line,
+    translate ' '→'\\n') to exercise the duplicate-line machinery end-to-end;
+    bigram stats run on the same text (the tokenizer treats \\n as a
+    separator, so bigrams are unchanged)."""
+    from ..operators import corpus as corpus_ops
+
+    # repartition: the sf documents table is ONE parquet file, so without it
+    # the explode+count runs as a single task; at corpus scale the input
+    # splits already provide this parallelism and the operator itself adds
+    # no shuffle (tested single-Generate/no-join plan)
+    docs = _read(spark, sf_dir, "documents").repartition(64).withColumn(
+        "text", F.translate("text", " ", "\n")
+    )
+    return corpus_ops.repetition_stats(docs)
+
+
+SQL_REPETITION_STATS = f"""
+WITH docs2 AS (
+  SELECT doc_id, replace(text, ' ', chr(10)) AS text FROM documents
+),
+lines0 AS (
+  SELECT doc_id, trim(l) AS line
+  FROM docs2, UNNEST(string_split(text, chr(10))) AS t(l)
+),
+lines AS (SELECT doc_id, line FROM lines0 WHERE line <> ''),
+lc AS (SELECT doc_id, line, COUNT(*) AS cnt FROM lines GROUP BY doc_id, line),
+ls AS (
+  SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_lines,
+         ROUND(1.0 - COUNT(*) * 1.0 / SUM(cnt), 4) AS dup_line_frac,
+         ROUND(SUM(CASE WHEN cnt > 1 THEN cnt * LENGTH(line) ELSE 0 END) * 1.0
+               / GREATEST(SUM(cnt * LENGTH(line)), 1), 4) AS dup_line_char_frac
+  FROM lc GROUP BY doc_id
+),
+warr AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '{WORD_RE}'), x -> x <> '') AS w
+  FROM docs2
+),
+grams AS (
+  SELECT doc_id, w[i] || ' ' || w[i+1] AS bigram
+  FROM warr, UNNEST(generate_series(1, len(w) - 1)) AS t(i)
+  WHERE len(w) >= 2
+),
+gc AS (SELECT doc_id, bigram, COUNT(*) AS cnt FROM grams GROUP BY doc_id, bigram),
+gw AS (
+  SELECT doc_id, cnt, bigram,
+         SUM(cnt * LENGTH(bigram)) OVER (PARTITION BY doc_id) AS tot_chars,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY cnt DESC, bigram DESC) AS rn
+  FROM gc
+),
+gtop AS (
+  SELECT doc_id, ROUND(cnt * LENGTH(bigram) * 1.0 / GREATEST(tot_chars, 1), 4) AS top_bigram_frac
+  FROM gw WHERE rn = 1
+)
+SELECT ls.doc_id, ls.n_lines, ls.dup_line_frac, ls.dup_line_char_frac,
+       COALESCE(gtop.top_bigram_frac, 0.0) AS top_bigram_frac
+FROM ls LEFT JOIN gtop USING (doc_id)
+"""
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (operators/corpus.py): corpus docs sharing
+    ≥1 word 6-gram with the held-out benchmark slice (source='src0') —
+    distinct benchmark n-grams broadcast, corpus matched map-side."""
+    from ..operators import corpus as corpus_ops
+
+    docs = _read(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("source") == "src0")
+    # repartition the corpus side only (single-file local layout, see
+    # q_repetition_stats); the benchmark side stays tiny and broadcasts
+    corpus = docs.filter(F.col("source") != "src0").repartition(64)
+    return corpus_ops.contamination_report(corpus, bench, n=6)
+
+
+SQL_DECONTAMINATE = f"""
+WITH warr AS (
+  SELECT doc_id, source,
+         list_filter(string_split_regex(lower(text), '{WORD_RE}'), x -> x <> '') AS w
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, source, array_to_string(w[i:i+5], ' ') AS ngram
+  FROM warr, UNNEST(generate_series(1, len(w) - 5)) AS t(i)
+  WHERE len(w) >= 6
+),
+bench AS (SELECT DISTINCT ngram FROM grams WHERE source = 'src0')
+SELECT g.doc_id, CAST(COUNT(DISTINCT g.ngram) AS BIGINT) AS n_shared
+FROM grams g JOIN bench USING (ngram)
+WHERE g.source <> 'src0'
+GROUP BY g.doc_id
+"""
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (operators/corpus.py): concat-then-chunk documents
+    into 64-token training windows per source; per-pack doc and token
+    totals."""
+    from ..operators import corpus as corpus_ops
+
+    docs = _read(spark, sf_dir, "documents")
+    packed = corpus_ops.pack_sequences(docs, budget=64)
+    return packed.groupBy("source", "pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("pack_tokens"),
+    )
+
+
+SQL_PACK_SEQUENCES = f"""
+WITH toks AS (
+  SELECT doc_id, source,
+         CAST(len(list_filter(string_split_regex(lower(text), '{WORD_RE}'), x -> x <> '')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+packed AS (
+  SELECT source, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+  FROM toks
+)
+SELECT source, CAST(FLOOR(cum_before / 64.0) AS BIGINT) AS pack_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens
+FROM packed GROUP BY source, pack_id
+"""
+
+
+def q_mix_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted source mixing (operators/corpus.py): deterministic
+    md5-uniform downsampling at per-source rates; sources without a rate
+    drop (explicit mixing contract).  Per-source kept counts + char mass
+    digest the exact sample membership."""
+    from ..operators import corpus as corpus_ops
+
+    docs = _read(spark, sf_dir, "documents")
+    rates = {"src1": 0.9, "src3": 0.5, "src5": 0.25, "src7": 0.1}
+    mixed = corpus_ops.mix_sources(docs, rates, seed=42)
+    return mixed.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("n_chars").alias("sum_chars"),
+    )
+
+
+SQL_MIX_SOURCES = """
+WITH rates(source, rate) AS (
+  VALUES ('src1', 0.9), ('src3', 0.5), ('src5', 0.25), ('src7', 0.1)
+),
+mixed AS (
+  SELECT d.source, d.n_chars
+  FROM documents d JOIN rates r USING (source)
+  WHERE (CAST(concat('0x', substr(md5(d.doc_id || ':42'), 1, 8)) AS BIGINT) % 1000000)
+        / 1000000.0 < r.rate
+)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_kept, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM mixed GROUP BY source
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1643,6 +1802,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fingerprint": q_fingerprint,
     "smote": q_smote,
     "hashing_vectorize": q_hashing_vectorize,
+    "repetition_stats": q_repetition_stats,
+    "decontaminate": q_decontaminate,
+    "pack_sequences": q_pack_sequences,
+    "mix_sources": q_mix_sources,
 }
 
 ORACLES: dict[str, str] = {
@@ -1690,6 +1853,10 @@ ORACLES: dict[str, str] = {
     "dedup_reference_chain": SQL_DEDUP_REFERENCE_CHAIN,
     "smote": SQL_SMOTE,
     "hashing_vectorize": SQL_HASHING_VECTORIZE,
+    "repetition_stats": SQL_REPETITION_STATS,
+    "decontaminate": SQL_DECONTAMINATE,
+    "pack_sequences": SQL_PACK_SEQUENCES,
+    "mix_sources": SQL_MIX_SOURCES,
     # rows-only (Arrow-UDF tokenizers / banded-LSH internals / crc32 not
     # expressible in ANSI SQL; allclose- or recall-tested in pytest):
     # rant_stats_features, vectorize_type_ngrams, vectorize_pos_tfidf,

@@ -1,0 +1,180 @@
+"""Corpus-curation operators (operators/corpus.py): Gopher repetition
+stats, benchmark decontamination, sequence packing, weighted source mixing.
+Semantics vs hand-computed references + plan shapes (broadcast, shuffle
+counts)."""
+
+import os
+import sys
+
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from py_evalfilter_spark.operators import corpus as corpus_ops
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+class TestRepetitionStats:
+    def test_known_fractions(self, spark):
+        docs = spark.createDataFrame(
+            [
+                # 4 lines, "dup dup" twice -> dup_line_frac = 1 - 3/4 = 0.25;
+                # dup chars = 2*7=14 of 7+13+3+7 = 30
+                (1, "dup dup\nunique line x\nabc\ndup dup"),
+                (2, "all distinct\nlines here"),
+                # bigram "go go" 3x out of 4 bigrams (go go, go go, go go, go stop)
+                (3, "go go go go stop"),
+            ],
+            "doc_id long, text string",
+        )
+        r = {
+            row["doc_id"]: row
+            for row in corpus_ops.repetition_stats(docs).collect()
+        }
+        assert r[1]["n_lines"] == 4
+        assert abs(r[1]["dup_line_frac"] - 0.25) < 1e-9
+        assert abs(r[1]["dup_line_char_frac"] - 14 / 30) < 1e-3
+        assert r[2]["dup_line_frac"] == 0.0
+        assert r[2]["dup_line_char_frac"] == 0.0
+        # doc 3: bigrams are 3x "go go" (5 chars) + 1x "go stop" (7 chars)
+        assert abs(r[3]["top_bigram_frac"] - 15 / 22) < 1e-3
+
+    def test_no_words_doc_gets_zero_bigram_frac(self, spark):
+        docs = spark.createDataFrame([(1, "!!!\n???")], "doc_id long, text string")
+        row = corpus_ops.repetition_stats(docs).collect()[0]
+        assert row["top_bigram_frac"] == 0.0
+        assert row["n_lines"] == 2
+
+    def test_filter_repetitive_drops_offenders(self, spark):
+        docs = spark.createDataFrame(
+            [
+                (1, "same line\nsame line\nsame line\nsame line"),
+                (2, "a perfectly normal document\nwith two distinct lines"),
+            ],
+            "doc_id long, text string",
+        )
+        kept = corpus_ops.filter_repetitive(docs).select("doc_id").collect()
+        assert [r["doc_id"] for r in kept] == [2]
+
+
+class TestDecontamination:
+    def test_flags_shared_ngram(self, spark):
+        bench = spark.createDataFrame(
+            [(100, "the quick brown fox jumps over the lazy dog today")],
+            "doc_id long, text string",
+        )
+        corpus = spark.createDataFrame(
+            [
+                (1, "prefix words then the quick brown fox jumps over the lazy dog and more"),
+                (2, "completely unrelated text with no overlap at all whatsoever here"),
+            ],
+            "doc_id long, text string",
+        )
+        rep = corpus_ops.contamination_report(corpus, bench, n=8).collect()
+        assert {r["doc_id"] for r in rep} == {1}
+        assert rep[0]["n_shared"] >= 1
+        clean = corpus_ops.decontaminate(corpus, bench, n=8)
+        assert [r["doc_id"] for r in clean.select("doc_id").collect()] == [2]
+
+    def test_short_docs_never_match(self, spark):
+        bench = spark.createDataFrame([(9, "one two three")], "doc_id long, text string")
+        corpus = spark.createDataFrame([(1, "one two three")], "doc_id long, text string")
+        # both below n=8 words -> no n-grams -> no contamination
+        assert corpus_ops.contamination_report(corpus, bench, n=8).count() == 0
+
+    def test_benchmark_side_broadcasts(self, spark):
+        bench = spark.createDataFrame([(9, "a b c d e f g h i")], "doc_id long, text string")
+        corpus = spark.createDataFrame([(1, "a b c d e f g h i j")], "doc_id long, text string")
+        plan = _plan(corpus_ops.contamination_report(corpus, bench, n=8))
+        assert "BroadcastHashJoin" in plan
+
+
+class TestPackSequences:
+    def test_concat_then_chunk_assignment(self, spark):
+        # tokens: 3, 4, 5, 60, 10 -> cum_before: 0, 3, 7, 12, 72
+        texts = ["a b c", "a b c d", "a b c d e", " ".join(["t"] * 60), " ".join(["u"] * 10)]
+        docs = spark.createDataFrame(
+            [(i, "s", t) for i, t in enumerate(texts)],
+            "doc_id long, source string, text string",
+        )
+        rows = {
+            r["doc_id"]: r
+            for r in corpus_ops.pack_sequences(docs, budget=16).collect()
+        }
+        assert [rows[i]["pack_id"] for i in range(5)] == [0, 0, 0, 0, 4]
+        assert [rows[i]["pack_offset"] for i in range(5)] == [0, 3, 7, 12, 8]
+        assert rows[3]["n_tokens"] == 60
+
+    def test_groups_pack_independently(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "x", "a b c"), (2, "y", "a b c")],
+            "doc_id long, source string, text string",
+        )
+        rows = corpus_ops.pack_sequences(docs, budget=2).collect()
+        assert all(r["pack_id"] == 0 for r in rows)  # each group restarts at 0
+
+    def test_single_window_exchange(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "x", "a b"), (2, "x", "c d")],
+            "doc_id long, source string, text string",
+        )
+        plan = _plan(corpus_ops.pack_sequences(docs, budget=8))
+        assert plan.count("Exchange hashpartitioning") == 1  # one window shuffle
+
+
+class TestMixSources:
+    def _docs(self, spark, n=400):
+        rows = [(i, f"src{i % 4}") for i in range(n)]
+        return spark.createDataFrame(rows, "doc_id long, source string")
+
+    def test_deterministic_and_rate_bounds(self, spark):
+        docs = self._docs(spark)
+        rates = {"src0": 1.0, "src1": 0.5, "src2": 0.0}
+        a = corpus_ops.mix_sources(docs, rates, seed=7).collect()
+        b = corpus_ops.mix_sources(docs, rates, seed=7).collect()
+        assert sorted(r["doc_id"] for r in a) == sorted(r["doc_id"] for r in b)
+        by_src = {}
+        for r in a:
+            by_src.setdefault(r["source"], []).append(r["doc_id"])
+        assert len(by_src.get("src0", [])) == 100  # rate 1.0 keeps all
+        assert "src2" not in by_src  # rate 0.0 keeps none
+        assert "src3" not in by_src  # no rate -> dropped
+        assert 30 <= len(by_src["src1"]) <= 70  # ~50 of 100
+
+    def test_seed_changes_sample(self, spark):
+        docs = self._docs(spark)
+        a = {r["doc_id"] for r in corpus_ops.mix_sources(docs, {"src1": 0.5}, seed=1).collect()}
+        b = {r["doc_id"] for r in corpus_ops.mix_sources(docs, {"src1": 0.5}, seed=2).collect()}
+        assert a != b
+
+    def test_no_shuffle_in_plan(self, spark):
+        docs = self._docs(spark)
+        plan = _plan(corpus_ops.mix_sources(docs, {"src0": 0.5}, seed=3))
+        assert "BroadcastHashJoin" in plan
+        assert "Exchange hashpartitioning" not in plan
+
+    def test_streaming_mix_matches_batch(self, spark, tmp_path):
+        """mix_sources is a stateless per-row filter against a static
+        broadcast dim, so the SAME call mixes a stream (stream-static join,
+        append mode) — the md5 uniform guarantees batch/stream pick the
+        identical sample."""
+        from py_evalfilter_spark.streaming import sessions
+
+        docs = self._docs(spark)
+        src = str(tmp_path / "mix_docs")
+        docs.write.parquet(src)
+        stream = spark.readStream.schema(docs.schema).parquet(src)
+        rates = {"src0": 0.7, "src1": 0.3}
+        sessions.run_stream_once(
+            stream, lambda s: corpus_ops.mix_sources(s, rates, seed=5), "stream_mixed"
+        )
+        got = sorted(
+            r["doc_id"] for r in spark.sql("SELECT * FROM stream_mixed").collect()
+        )
+        want = sorted(
+            r["doc_id"] for r in corpus_ops.mix_sources(docs, rates, seed=5).collect()
+        )
+        assert got == want and len(got) > 0

@@ -172,6 +172,22 @@ class TestBenchedQueryPlans:
         assert "Window" in plan
         assert "zip_with" in plan and "Python" not in plan
 
+    def test_repetition_stats_single_scan_no_join(self, spark):
+        # lines + bigrams explode together as tagged items: ONE text scan,
+        # ONE Generate, no stats-side join — two scan branches would double
+        # the dominant text I/O at corpus scale
+        plan = self._benched(spark, "repetition_stats")
+        assert plan.count("Generate") == 1
+        assert "Join" not in plan
+        assert "HashAggregate" in plan
+
+    def test_decontaminate_broadcasts_benchmark(self, spark):
+        # benchmark n-grams must broadcast: the corpus side never shuffles
+        # for the match, only the hit-id aggregation reduces
+        plan = self._benched(spark, "decontaminate")
+        assert "BroadcastHashJoin" in plan
+        assert "Generate" in plan  # the n-gram explode survives
+
     def test_every_benched_query_runs_and_is_nonempty(self, spark):
         import bench
 
