@@ -90,6 +90,10 @@ CONSUME: dict[str, list[str]] = {
         "count(*) AS n", "sum(n_shared) AS a",  # n-gram build + broadcast match
         "sum(doc_id) AS b",
     ],
+    "mask_pii": [
+        "count(*) AS n", "sum(n_email) AS a",   # regexp_count x3
+        "sum(n_phone) AS b", "sum(red_len) AS c",  # regexp_replace chain
+    ],
 }
 
 BENCH_QUERIES = list(CONSUME)

@@ -1,0 +1,112 @@
+"""Connected components over duplicate-pair edges + canonical-doc selection.
+
+The near-dup operators (dedup.py minhash/simhash/embedding, reference
+semantics deduplicate_rants.py:12-21 generalized) emit PAIRS; at corpus
+scale a doc can pair with many others and pairs chain (A~B, B~C), so "drop
+one of each pair" both over- and under-deletes.  The standard fix is to
+cluster the pair graph and keep one canonical doc per component — this
+module does that with min-label propagation + pointer doubling (the
+HashToMin family, Rastogi et al. 2013, "Finding Connected Components in
+Map-Reduce in Logarithmic Rounds"): every round each node takes the min
+label among itself and its neighbors, then labels short-circuit through
+label-of-label, giving O(log diameter) rounds instead of O(diameter).
+
+Scale notes (100 TB):
+  * only nodes that appear in dup edges enter the loop — the label frame is
+    |dup pairs|-sized, orders of magnitude below the corpus;
+  * each round is 2 shuffles (neighbor-min groupBy + doubling self-join) on
+    that small frame; the corpus itself is touched once at the end by a
+    broadcast-able anti-join;
+  * `localCheckpoint(eager=True)` every round truncates the lineage —
+    without it the iterative plan grows exponentially and Catalyst analysis
+    dominates runtime by round ~8.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """(node, comp) for every node appearing in `edges`; comp = min node id
+    of the node's connected component.  Converges early when a round
+    changes no label (checked on the label frame, not the corpus)."""
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).filter(
+        F.col("a") != F.col("b")
+    )
+    und = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
+    und = und.localCheckpoint(eager=True)  # reused every round: fix the lineage once
+
+    labels = (
+        und.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("comp", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        nbr = (
+            und.join(
+                labels.select(
+                    F.col("node").alias("b"), F.col("comp").alias("comp_b")
+                ),
+                "b",
+            )
+            .groupBy("a")
+            .agg(F.min("comp_b").alias("nbr_min"))
+        )
+        stepped = labels.join(
+            nbr.select(F.col("a").alias("node"), "nbr_min"), "node", "left"
+        ).select(
+            "node",
+            F.least("comp", F.coalesce("nbr_min", "comp")).alias("comp"),
+        )
+        # pointer doubling: comp(v) <- comp(comp(v))
+        doubled = (
+            stepped.alias("x")
+            .join(
+                stepped.select(
+                    F.col("node").alias("comp"), F.col("comp").alias("comp2")
+                ).alias("y"),
+                "comp",
+                "left",
+            )
+            .select(
+                "node", F.coalesce("comp2", "comp").alias("comp")
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            doubled.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .limit(1)
+            .count()
+        )
+        labels = doubled
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_keep_canonical(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Keep one document per duplicate cluster: cluster the pair graph,
+    then anti-join the corpus against every non-canonical node (node !=
+    component min).  The drop set is |dup nodes|-sized — the only corpus
+    pass is the final anti-join."""
+    comp = connected_components(pairs, src=src, dst=dst)
+    drop = comp.filter(F.col("node") != F.col("comp")).select(
+        F.col("node").alias(id_col)
+    )
+    return df.join(drop, id_col, "left_anti")

@@ -1731,6 +1731,136 @@ def q_mix_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mask_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub (functions/pii.py): per-kind match counts + typed-placeholder
+    redaction, pure JVM regexp.  The corpus has no organic PII, so emails /
+    IPs / phones are injected deterministically (doc_id-derived, identical
+    expression on both engines) — the counts and redacted length then verify
+    the actual pattern semantics, not just zeros."""
+    from ..functions import pii
+
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com now"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(
+                    F.lit(" from 10.0."),
+                    (F.col("doc_id") % 256).cast("string"),
+                    F.lit(".7"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(
+                    F.lit(" call "),
+                    (F.col("doc_id") % 900 + 100).cast("string"),
+                    F.lit("-555-"),
+                    (F.col("doc_id") % 9000 + 1000).cast("string"),
+                    F.lit(" ok"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return pii.scrub_pii(docs).select(
+        "doc_id",
+        "n_email",
+        "n_ip",
+        "n_phone",
+        F.length("text").cast("long").alias("red_len"),
+    )
+
+
+SQL_MASK_PII = r"""
+WITH injected AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 3 = 0
+                 THEN ' contact user' || doc_id || '@example.com now' ELSE '' END
+         || CASE WHEN doc_id % 5 = 0
+                 THEN ' from 10.0.' || (doc_id % 256) || '.7' ELSE '' END
+         || CASE WHEN doc_id % 7 = 0
+                 THEN ' call ' || (doc_id % 900 + 100) || '-555-' || (doc_id % 9000 + 1000) || ' ok'
+                 ELSE '' END AS text
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+       CAST(len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ip,
+       CAST(len(regexp_extract_all(text, '\+?\d{3}[- ]\d{3,4}[- ]\d{4}\b')) AS BIGINT) AS n_phone,
+       CAST(LENGTH(
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+           '\+?\d{3}[- ]\d{3,4}[- ]\d{4}\b', '<PHONE>', 'g')
+       ) AS BIGINT) AS red_len
+FROM injected
+"""
+
+
+def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate clustering (operators/graph.py): connected components over
+    a deterministic dup-pair graph (consecutive doc_ids within a source
+    whose n_chars differ by ≤50 — chains form, so this exercises multi-hop
+    propagation, not just star merges).  Per-component size + id digest;
+    the DuckDB oracle recomputes components with a recursive CTE."""
+    from ..operators import graph
+
+    docs = _read(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("doc_id")
+    e = (
+        docs.select(
+            "doc_id",
+            "n_chars",
+            F.lag("doc_id").over(w).alias("pid"),
+            F.lag("n_chars").over(w).alias("pchars"),
+        )
+        .filter(
+            F.col("pid").isNotNull()
+            & (F.abs(F.col("n_chars") - F.col("pchars")) <= 50)
+        )
+        .select(F.col("pid").alias("id_a"), F.col("doc_id").alias("id_b"))
+    )
+    comp = graph.connected_components(e)
+    return comp.groupBy("comp").agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.sum("node").alias("id_sum"),
+    )
+
+
+SQL_DEDUP_CLUSTER = """
+WITH RECURSIVE base AS (
+  SELECT source, doc_id, n_chars,
+         LAG(doc_id) OVER (PARTITION BY source ORDER BY doc_id) AS pid,
+         LAG(n_chars) OVER (PARTITION BY source ORDER BY doc_id) AS pchars
+  FROM documents
+),
+e AS (
+  SELECT pid AS a, doc_id AS b FROM base
+  WHERE pid IS NOT NULL AND ABS(n_chars - pchars) <= 50
+),
+und AS (SELECT a, b FROM e UNION SELECT b AS a, a AS b FROM e),
+reach AS (
+  SELECT a AS node, a AS root FROM und
+  UNION
+  SELECT u.a AS node, r.root FROM und u JOIN reach r ON u.b = r.node
+),
+comps AS (SELECT node, MIN(root) AS comp FROM reach GROUP BY node)
+SELECT comp, CAST(COUNT(*) AS BIGINT) AS n_nodes, CAST(SUM(node) AS BIGINT) AS id_sum
+FROM comps GROUP BY comp
+"""
+
+
 SQL_MIX_SOURCES = """
 WITH rates(source, rate) AS (
   VALUES ('src1', 0.9), ('src3', 0.5), ('src5', 0.25), ('src7', 0.1)
@@ -1806,6 +1936,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "decontaminate": q_decontaminate,
     "pack_sequences": q_pack_sequences,
     "mix_sources": q_mix_sources,
+    "mask_pii": q_mask_pii,
+    "dedup_cluster": q_dedup_cluster,
 }
 
 ORACLES: dict[str, str] = {
@@ -1857,6 +1989,8 @@ ORACLES: dict[str, str] = {
     "decontaminate": SQL_DECONTAMINATE,
     "pack_sequences": SQL_PACK_SEQUENCES,
     "mix_sources": SQL_MIX_SOURCES,
+    "mask_pii": SQL_MASK_PII,
+    "dedup_cluster": SQL_DEDUP_CLUSTER,
     # rows-only (Arrow-UDF tokenizers / banded-LSH internals / crc32 not
     # expressible in ANSI SQL; allclose- or recall-tested in pytest):
     # rant_stats_features, vectorize_type_ngrams, vectorize_pos_tfidf,

@@ -178,3 +178,40 @@ class TestMixSources:
             r["doc_id"] for r in corpus_ops.mix_sources(docs, rates, seed=5).collect()
         )
         assert got == want and len(got) > 0
+
+
+class TestPii:
+    def test_counts_and_redaction(self, spark):
+        from py_evalfilter_spark.functions import pii
+
+        df = spark.createDataFrame(
+            [
+                (1, "mail a.b+c@x.co and d@y.org, host 10.0.0.1, call 123-555-0000 now"),
+                (2, "no pii here at all"),
+            ],
+            "doc_id long, text string",
+        )
+        out = {r["doc_id"]: r for r in pii.scrub_pii(df).collect()}
+        assert (out[1]["n_email"], out[1]["n_ip"], out[1]["n_phone"]) == (2, 1, 1)
+        assert out[1]["text"] == (
+            "mail <EMAIL> and <EMAIL>, host <IP>, call <PHONE> now"
+        )
+        assert (out[2]["n_email"], out[2]["n_ip"], out[2]["n_phone"]) == (0, 0, 0)
+        assert out[2]["text"] == "no pii here at all"
+
+    def test_email_redacted_before_phone_eats_digits(self, spark):
+        from py_evalfilter_spark.functions import pii
+
+        # digits in a mailbox name must become part of <EMAIL>, not <PHONE>
+        df = spark.createDataFrame(
+            [(1, "write 123-555-0000x@mail.com please")], "doc_id long, text string"
+        )
+        row = pii.scrub_pii(df).collect()[0]
+        assert row["text"] == "write <EMAIL> please"
+        assert row["n_email"] == 1
+
+    def test_jvm_only_plan(self, spark):
+        from py_evalfilter_spark.functions import pii
+
+        df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+        assert "Python" not in _plan(pii.scrub_pii(df))

@@ -188,6 +188,19 @@ class TestBenchedQueryPlans:
         assert "BroadcastHashJoin" in plan
         assert "Generate" in plan  # the n-gram explode survives
 
+    def test_mask_pii_is_pure_jvm_regexp(self, spark):
+        # plan toString truncates expression lists at 25 fields — widen so
+        # the regexp expressions are visible to the assertion
+        prev = spark.conf.get("spark.sql.debug.maxToStringFields", "25")
+        spark.conf.set("spark.sql.debug.maxToStringFields", "200")
+        try:
+            plan = self._benched(spark, "mask_pii")
+        finally:
+            spark.conf.set("spark.sql.debug.maxToStringFields", prev)
+        # regexp_count lowers to size(regexp_extract_all(...)) in Catalyst
+        assert "regexp_extract_all" in plan and "regexp_replace" in plan
+        assert "Python" not in plan  # no UDF fallback in the scrub path
+
     def test_every_benched_query_runs_and_is_nonempty(self, spark):
         import bench
 
