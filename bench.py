@@ -94,6 +94,10 @@ CONSUME: dict[str, list[str]] = {
         "count(*) AS n", "sum(n_email) AS a",   # regexp_count x3
         "sum(n_phone) AS b", "sum(red_len) AS c",  # regexp_replace chain
     ],
+    "curation_pipeline": [
+        "count(*) AS n", "sum(n_docs) AS a",    # the full 8-stage curation flow
+        "sum(n_packs) AS b", "sum(sum_tokens) AS c",
+    ],
 }
 
 BENCH_QUERIES = list(CONSUME)
@@ -151,10 +155,16 @@ def main() -> None:
 
     for name in BENCH_QUERIES:
         # per-query stage-consuming aggregation — see CONSUME above; a bare
-        # .count() here timed column-pruned plans through round 2
-        timings[name] = round(
-            best_of(lambda: benched_df(spark, name, SF_DIR).collect()), 3
-        )
+        # .count() here timed column-pruned plans through round 2.
+        # clearCache between reps: queries that persist intermediates
+        # (curation_pipeline's stage boundaries, minhash's banded frame)
+        # would otherwise serve rep 2 from rep 1's cache (CacheManager
+        # matches by plan equality) and best-of would time a partial run
+        def run(name=name):
+            spark.catalog.clearCache()
+            benched_df(spark, name, SF_DIR).collect()
+
+        timings[name] = round(best_of(run), 3)
 
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").split("sf")[-1]

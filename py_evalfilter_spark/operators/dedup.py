@@ -338,6 +338,24 @@ def _char_shingle_hashes(text: str, n: int) -> np.ndarray:
     return np.fromiter(hs, dtype=np.uint64, count=len(hs))
 
 
+def _word_shingle_hashes(text: str, n: int) -> np.ndarray:
+    """crc32 over space-joined word n-grams.  For corpora whose texts draw
+    from a small vocabulary, char shingle SETS nearly coincide across
+    unrelated docs (the sf `documents` table: measured 8.7M LSH candidates
+    from 4,750 docs at char n=3); word shingles keep the space
+    discriminative."""
+    if not isinstance(text, str) or not text:
+        return np.empty(0, dtype=np.uint64)
+    toks = text.lower().split()
+    if not toks:
+        return np.empty(0, dtype=np.uint64)
+    m = max(len(toks) - n + 1, 1)
+    hs = {
+        zlib.crc32(" ".join(toks[i : i + n]).encode("utf-8")) for i in range(m)
+    }
+    return np.fromiter(hs, dtype=np.uint64, count=len(hs))
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str,
@@ -345,9 +363,11 @@ def minhash_signatures(
     n: int = 3,
     num_perm: int = 64,
     seed: int = 42,
+    unit: str = "char",
 ) -> DataFrame:
     """(id, signature:array<bigint>) — vectorized universal min-hash over
-    crc32 char-shingle hashes, one Arrow pass."""
+    crc32 shingle hashes (unit='char'|'word'), one Arrow pass."""
+    shingle = _char_shingle_hashes if unit == "char" else _word_shingle_hashes
     a, b = _minhash_coeffs(num_perm, seed)
     out_schema = T.StructType(
         [
@@ -360,7 +380,7 @@ def minhash_signatures(
         for pdf in batches:
             sigs = []
             for text in pdf[text_col]:
-                hs = _char_shingle_hashes(text, n)
+                hs = shingle(text, n)
                 if hs.size == 0:
                     sigs.append(np.full(num_perm, np.iinfo(np.int64).max).tolist())
                     continue
@@ -373,7 +393,15 @@ def minhash_signatures(
                 sigs.append(vals.min(axis=1).astype(np.int64).tolist())
             yield pd.DataFrame({"doc_id": pdf[id_col], "signature": sigs})
 
-    return df.select(id_col, text_col).mapInPandas(compute, schema=out_schema)
+    src = df.select(id_col, text_col)
+    # the Arrow pass must not inherit a coalesced upstream distribution
+    # (e.g. an AQE-shrunk join output): give the per-doc crc32+minhash
+    # compute cluster-wide parallelism (same discipline as the fuzzy-window
+    # rebalance, BENCH/BASELINE.md round 3)
+    p = df.sparkSession.sparkContext.defaultParallelism
+    if src.rdd.getNumPartitions() < p:
+        src = src.repartition(p)
+    return src.mapInPandas(compute, schema=out_schema)
 
 
 def minhash_lsh_pairs(
@@ -385,15 +413,28 @@ def minhash_lsh_pairs(
     bands: int = 16,
     threshold: float = 0.8,
     seed: int = 42,
+    unit: str = "char",
+    est_margin: float = 0.15,
 ) -> DataFrame:
     """Banded-LSH candidates verified with EXACT shingle Jaccard.
 
     bands=16, num_perm=64 → r=4 rows/band: candidate probability at
     jaccard j is 1-(1-j^4)^16 (≈0.99 at j=0.8).
+
+    `unit`: shingle unit ('char' default; 'word' for small-vocabulary
+    corpora where char shingle sets coincide — see _word_shingle_hashes).
+    `est_margin`: before the Arrow text verify, candidates are pre-filtered
+    on the pure-JVM signature-agreement Jaccard estimate, keeping only
+    est ≥ threshold − est_margin.  The estimate's std at j=threshold is
+    √(j(1−j)/num_perm) (≈0.05 at 0.8/64), so the default margin is 3σ —
+    the exact verify still decides membership; the estimate only prunes
+    candidates the banding let through far below threshold (the S-curve at
+    r=4 admits ~half of all pairs at j≈0.5: measured 5.2M candidates →
+    214 verified at sf0.1; the pre-filter removes that 10⁴x Arrow blowup).
     """
     assert num_perm % bands == 0
     r = num_perm // bands
-    sigs = minhash_signatures(df, id_col, text_col, n, num_perm, seed)
+    sigs = minhash_signatures(df, id_col, text_col, n, num_perm, seed, unit=unit).persist()
     banded = sigs.select(
         "doc_id",
         F.posexplode(
@@ -403,6 +444,11 @@ def minhash_lsh_pairs(
             )
         ).alias("band", "band_sig"),
     ).select("doc_id", "band", F.xxhash64(F.col("band_sig").cast("string"), F.col("band")).alias("bucket"))
+    # persist: the bucket self-join reads `banded` on BOTH sides, and
+    # broadcast/shuffle sides don't share an Exchange — without pinning,
+    # the signature Arrow pass runs twice (measured 2x the pair cost at
+    # sf0.1).  Small frame (id, band, bucket); caller owns eviction.
+    banded = banded.persist()
     l = banded.alias("l")
     rt = banded.alias("r")
     cands = (
@@ -414,6 +460,25 @@ def minhash_lsh_pairs(
         .select(F.col("l.doc_id").alias("doc_id"), F.col("r.doc_id").alias("dup_id"))
         .distinct()
     )
+    # JVM pre-filter: signature-agreement Jaccard estimate (zip_with, no
+    # Python) — prunes the far-below-threshold candidates before any text
+    # is joined or shipped to Arrow
+    sig_a = sigs.select(F.col("doc_id"), F.col("signature").alias("sig_a"))
+    sig_b = sigs.select(
+        F.col("doc_id").alias("dup_id"), F.col("signature").alias("sig_b")
+    )
+    est = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    ) / F.lit(float(num_perm))
+    cands = (
+        cands.join(sig_a, "doc_id")
+        .join(sig_b, "dup_id")
+        .withColumn("est", est)
+        .filter(F.col("est") >= threshold - est_margin)
+        .select("doc_id", "dup_id")
+    )
     # exact verify: join candidate pairs back to texts, Jaccard in an Arrow pass
     texts = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__text"))
     pairs = (
@@ -423,11 +488,20 @@ def minhash_lsh_pairs(
         .withColumnRenamed("__text", "text_b")
     )
 
+    def _shingle_set(x: str):
+        if not isinstance(x, str) or not x:
+            return set()
+        if unit == "char":
+            return {x[i : i + n] for i in range(max(len(x) - n + 1, 1))}
+        toks = x.lower().split()
+        if not toks:
+            return set()
+        return {" ".join(toks[i : i + n]) for i in range(max(len(toks) - n + 1, 1))}
+
     @F.pandas_udf(T.DoubleType())
     def jaccard_udf(a: pd.Series, b: pd.Series) -> pd.Series:
         def j(x, y):
-            sx = {x[i : i + n] for i in range(max(len(x) - n + 1, 1))} if isinstance(x, str) and x else set()
-            sy = {y[i : i + n] for i in range(max(len(y) - n + 1, 1))} if isinstance(y, str) and y else set()
+            sx, sy = _shingle_set(x), _shingle_set(y)
             if not sx and not sy:
                 return 1.0
             u = len(sx | sy)
@@ -485,7 +559,13 @@ def simhash_signatures(
                 out.append(sh - (1 << 64) if sh >= (1 << 63) else sh)
             yield pd.DataFrame({"doc_id": pdf[id_col], "simhash": out})
 
-    return df.select(id_col, text_col).mapInPandas(compute, schema=out_schema)
+    src = df.select(id_col, text_col)
+    # same rebalance discipline as minhash_signatures: cluster-wide
+    # parallelism for the per-doc Arrow hash pass
+    p = df.sparkSession.sparkContext.defaultParallelism
+    if src.rdd.getNumPartitions() < p:
+        src = src.repartition(p)
+    return src.mapInPandas(compute, schema=out_schema)
 
 
 def simhash_pairs(

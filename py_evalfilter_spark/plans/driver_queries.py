@@ -1861,6 +1861,24 @@ FROM comps GROUP BY comp
 """
 
 
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed curation flow (plans/curation.py): quality → repetition
+    → PII scrub → exact dedup → MinHash near-dup clustering →
+    decontamination → packing, reported per source.  Rows-only by design:
+    the MinHash Arrow verify and the iterative component loop are not
+    ANSI-SQL-expressible — every constituent stage has its own oracle
+    (quality_score, repetition_stats, mask_pii, dedup_exact, dedup_minhash,
+    dedup_cluster, decontaminate, pack_sequences)."""
+    from . import curation
+
+    packed = curation.curate_corpus(spark, sf_dir, budget=256)
+    return packed.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct("pack_id").alias("n_packs"),
+        F.sum("n_tokens").alias("sum_tokens"),
+    )
+
+
 SQL_MIX_SOURCES = """
 WITH rates(source, rate) AS (
   VALUES ('src1', 0.9), ('src3', 0.5), ('src5', 0.25), ('src7', 0.1)
@@ -1938,6 +1956,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mix_sources": q_mix_sources,
     "mask_pii": q_mask_pii,
     "dedup_cluster": q_dedup_cluster,
+    "curation_pipeline": q_curation_pipeline,
 }
 
 ORACLES: dict[str, str] = {
@@ -1991,8 +2010,10 @@ ORACLES: dict[str, str] = {
     "mix_sources": SQL_MIX_SOURCES,
     "mask_pii": SQL_MASK_PII,
     "dedup_cluster": SQL_DEDUP_CLUSTER,
-    # rows-only (Arrow-UDF tokenizers / banded-LSH internals / crc32 not
-    # expressible in ANSI SQL; allclose- or recall-tested in pytest):
-    # rant_stats_features, vectorize_type_ngrams, vectorize_pos_tfidf,
-    # dedup_simhash, ann_lsh, ann_ivf, fingerprint
+    # rows-only (Arrow-UDF tokenizers / banded-LSH internals / crc32 /
+    # iterative component loops not expressible in ANSI SQL; allclose- or
+    # recall-tested in pytest, and every curation_pipeline stage is
+    # individually oracled): rant_stats_features, vectorize_type_ngrams,
+    # vectorize_pos_tfidf, dedup_simhash, ann_lsh, ann_ivf, fingerprint,
+    # curation_pipeline
 }
