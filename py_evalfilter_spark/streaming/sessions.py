@@ -53,6 +53,70 @@ def streaming_features(stream: DataFrame) -> DataFrame:
     return with_rant_stats(stream)
 
 
+CONV_STATE_OUT = (
+    "conv_id string, n_turns long, total_chars long, first_ep long, last_ep long"
+)
+CONV_STATE_SCHEMA = "n long, chars long, first long, last long"
+
+
+def streaming_conv_state(
+    stream: DataFrame, watermark: str = "1 hour", timeout: str | None = None
+) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): per-conversation
+    running stats — turn count, char mass, first/last timestamp — carried
+    ACROSS micro-batches in explicit group state, emitting the updated row
+    whenever a conversation receives turns.
+
+    This is the streaming surface the built-in aggregations can't express:
+    arbitrary per-key state with user-defined merge logic (the batch
+    equivalent is a plain groupBy; parity is pinned in
+    tests/test_splits_streaming.py on a multi-micro-batch run).  State per
+    key is O(1); pass `timeout` (e.g. "2 hours" processing-time) to evict
+    idle conversations at scale."""
+    import pandas as pd  # noqa: F811 — worker-side import
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        n, chars, first, last = state.get if state.exists else (0, 0, None, None)
+        for pdf in pdfs:
+            if pdf.empty:
+                continue
+            n += len(pdf)
+            chars += int(pdf["text"].str.len().fillna(0).sum())
+            # datetime64 unit differs by Arrow path (ns vs us) — go through
+            # datetime64[s] so the int64 view is epoch SECONDS either way
+            ep = pdf["ts"].astype("datetime64[s]").astype("int64")
+            bmin, bmax = int(ep.min()), int(ep.max())
+            first = bmin if first is None else min(first, bmin)
+            last = bmax if last is None else max(last, bmax)
+        if timeout:
+            state.setTimeoutDuration(timeout)
+        state.update((n, chars, first, last))
+        yield pd.DataFrame(
+            {
+                "conv_id": [key[0]],
+                "n_turns": [n],
+                "total_chars": [chars],
+                "first_ep": [first],
+                "last_ep": [last],
+            }
+        )
+
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy("conv_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=CONV_STATE_OUT,
+            stateStructType=CONV_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout
+            if timeout
+            else GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def run_stream_once(stream_df: DataFrame, transform, query_name: str, output_mode: str = "append"):
     """Drive a streaming transform over a bounded source to completion via
     the memory sink (local smoke-test harness; real deployments use

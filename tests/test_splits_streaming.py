@@ -240,3 +240,59 @@ class TestStreamingEnrich:
         )
         got = spark.sql("SELECT * FROM stream_dedup").toPandas()
         assert sorted(got["text"].tolist()) == ["aaa", "bbb", "ccc"]
+
+
+class TestStatefulConvState:
+    def test_state_carries_across_micro_batches(self, spark, transcripts_pdf, tmp_path):
+        """applyInPandasWithState running per-conversation stats: the source
+        is split into TWO files processed one-per-trigger, so the final
+        emitted row per conversation must merge state across micro-batches
+        — equal to the batch groupBy over the full data."""
+        from pyspark.sql import functions as F
+
+        from py_evalfilter_spark.streaming import sessions
+
+        src = str(tmp_path / "turns_state")
+        sdf = spark.createDataFrame(transcripts_pdf)
+        # split by ROW RANGE inside each conversation so most convs appear
+        # in BOTH files (true cross-batch state merge, not disjoint keys)
+        a = sdf.filter(F.col("turn_idx") % 2 == 0)
+        b = sdf.filter(F.col("turn_idx") % 2 == 1)
+        a.coalesce(1).write.parquet(f"{src}/f=1")
+        b.coalesce(1).write.parquet(f"{src}/f=2")
+
+        stream = (
+            spark.readStream.schema(sdf.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/f=*")
+        )
+        sessions.run_stream_once(
+            stream, sessions.streaming_conv_state, "conv_state", output_mode="update"
+        )
+        got_all = spark.sql("SELECT * FROM conv_state").toPandas()
+        # update mode emits one row per (conv, batch-with-updates): keep the
+        # final state = max n_turns per conv (monotone counter)
+        got = (
+            got_all.sort_values("n_turns")
+            .groupby("conv_id", as_index=False)
+            .last()
+            .sort_values("conv_id")
+            .reset_index(drop=True)
+        )
+        want = (
+            sdf.groupBy("conv_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_turns"),
+                F.sum(F.length("text")).alias("total_chars"),
+                F.min(F.col("ts").cast("long")).alias("first_ep"),
+                F.max(F.col("ts").cast("long")).alias("last_ep"),
+            )
+            .toPandas()
+            .sort_values("conv_id")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+        # and the split really exercised cross-batch merge: some conv got
+        # updates in both micro-batches
+        multi = got_all.groupby("conv_id").size()
+        assert (multi >= 2).any(), "no conversation spanned two micro-batches"
