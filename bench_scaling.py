@@ -157,6 +157,11 @@ def main() -> None:
     # SCALING_LOCAL=0 skips the thread-mode levels for targeted re-samples
     # of the executor pairs (the thread rows are already multi-sampled)
     do_local = os.environ.get("SCALING_LOCAL", "1") == "1"
+    if not (do_local or do_cluster or do_small):
+        raise SystemExit(
+            "no levels enabled: set at least one of SCALING_LOCAL / "
+            "SCALING_CLUSTER / SCALING_SMALL_CLUSTER to 1"
+        )
     ceiling = hardware_ceiling()  # BEFORE any JVM: an idle-box capacity
     # interleave levels across fresh JVMs; keep the best JVM per level
     # (occasional JVMs on this VM land in a degraded state, 3-7x slower)
@@ -192,6 +197,11 @@ def main() -> None:
                         cur[key] = min(cur[key], r[key])
                 print(f"{master}: {r}")
     any_levels = levels or cluster_levels or small_levels
+    if not any_levels:
+        raise SystemExit(
+            "no levels enabled: set at least one of SCALING_LOCAL / "
+            "SCALING_CLUSTER / SCALING_SMALL_CLUSTER to 1"
+        )
     rows = next(iter(any_levels.values()))["rows"]
 
     result = {

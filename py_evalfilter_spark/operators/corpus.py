@@ -24,7 +24,8 @@ Scale notes (100 TB):
     is a single-partition sort at corpus scale.
   * mix_sources: pure map-side filter against a broadcast rates dim; the
     md5-derived uniform is engine-portable (same idiom as
-    vectorize._hash_bucket) so the exact sample is reproducible anywhere.
+    vectorize.hashing_bucket_expr) so the exact sample is reproducible
+    anywhere.
 """
 
 from __future__ import annotations

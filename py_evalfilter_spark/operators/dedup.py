@@ -125,8 +125,10 @@ def fuzzy_window_pairs(
         .filter(F.col("c.dup_id").isNotNull())
     )
     if rebalance:
-        spark = df.sparkSession
-        pairs = pairs.repartition(int(spark.conf.get("spark.sql.shuffle.partitions")))
+        # defaultParallelism, not int(spark.sql.shuffle.partitions): the
+        # conf can be non-numeric ("auto" under AQE-managed runtimes), and
+        # this matches the minhash/simhash rebalance idiom
+        pairs = pairs.repartition(df.sparkSession.sparkContext.defaultParallelism)
     ratio = _ratio_col(F.col("__text"), F.col("c.cand"), ratio_mode)
     out = pairs.select(
         "doc_id", F.col("c.dup_id").alias("dup_id"), F.round(ratio, 2).alias("ratio")
@@ -637,7 +639,10 @@ def _lsh_tables_for_recall(threshold: float, n_planes: int, target_recall: float
         return 1
     if p_r <= 0.0:
         raise ValueError(f"n_planes={n_planes} too high for threshold={threshold}")
-    return max(1, min(64, math.ceil(math.log(1.0 - target_recall) / math.log(1.0 - p_r))))
+    # UNCAPPED analytic count: the caller (embedding_neardup_pairs) enforces
+    # its table budget by REDUCING planes, never by capping tables — a
+    # silent cap here would quietly trade away target_recall
+    return max(1, math.ceil(math.log(1.0 - target_recall) / math.log(1.0 - p_r)))
 
 
 def embedding_neardup_pairs(
@@ -670,8 +675,11 @@ def embedding_neardup_pairs(
     ceil(log2(n/target))) capped at 30 (2^12 buckets over 10^9 rows would be
     ~244k rows/bucket → ~3e10 candidate pairs per bucket); the auto table
     count then RISES to hold target_recall — occupancy is bought with more
-    tables, never with silently dropped true pairs.  The sizing count is a
-    parquet count-pushdown scan (reads no column data).
+    tables, never with silently dropped true pairs; if holding
+    ``target_recall`` would need more than 64 tables, PLANES are walked
+    back down until the budget fits (occupancy degrades, recall does not).
+    The sizing count is a parquet count-pushdown scan (reads no column
+    data).
 
     Precision is 1.0 by construction: every candidate is exact-verified.
     Candidates are deduped as id PAIRS before vectors are re-joined, so the
@@ -681,20 +689,38 @@ def embedding_neardup_pairs(
 
     from .similarity import cosine_expr, with_hyperplane_bucket
 
+    # persist: every table's bucketing plus both verify-joins read `d` —
+    # without pinning, the upstream lineage re-executes n_tables+2 times
     d = df.select(
         F.col(id_col).alias("doc_id"),
         F.transform(vec_col, lambda x: x.cast("double")).alias("vec"),
-    )
+    ).persist()
     if target_bucket_rows:
         n = df.count()
         n_planes = max(
             n_planes, min(30, math.ceil(math.log2(max(n / target_bucket_rows, 1.0))))
         )
     if n_tables is None:
-        n_tables = _lsh_tables_for_recall(threshold, n_planes, target_recall)
+        # table budget 64: walk planes DOWN (raising per-table recall) until
+        # the analytic table count fits — recall holds, occupancy degrades
+        while (
+            _lsh_tables_for_recall(threshold, n_planes, target_recall) > 64
+            and n_planes > 1
+        ):
+            n_planes -= 1
+        n_tables = min(_lsh_tables_for_recall(threshold, n_planes, target_recall), 64)
+    # one driver job to pin the dimension, not one per table
+    head = d.select("vec").first()
+    if head is None:  # empty corpus: no pairs, keep the output schema
+        return d.select(
+            "doc_id", F.col("doc_id").alias("dup_id"), F.lit(0.0).alias("cosine")
+        ).limit(0)
+    dim = len(head["vec"])
     cands = None
     for t in range(n_tables):
-        b = with_hyperplane_bucket(d, "vec", n_planes=n_planes, seed=seed + 1000 * t)
+        b = with_hyperplane_bucket(
+            d, "vec", n_planes=n_planes, seed=seed + 1000 * t, dim=dim
+        )
         l = b.alias("l")
         rt = b.alias("r")
         c = (

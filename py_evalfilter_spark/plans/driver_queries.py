@@ -36,7 +36,11 @@ from ..operators import windows as win_op
 # shared derivations
 # ---------------------------------------------------------------------------
 
-WORD_RE = "[^a-z0-9]+"
+# single source of truth for the word tokenization shared by the corpus
+# operators and every f-string-built DuckDB oracle — a drifting copy here
+# would silently desynchronize operator from oracle
+from ..operators.corpus import WORD_RE  # noqa: E402
+
 STOPWORDS_SQL = "('the','a','of','and','to','in','is','on','for','with')"
 STOPWORDS = {"the", "a", "of", "and", "to", "in", "is", "on", "for", "with"}
 

@@ -77,6 +77,12 @@ def streaming_conv_state(
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     def update(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            # idle eviction: drop the state and emit nothing — falling
+            # through would re-arm the timeout and re-emit a stale row on
+            # every fire, and the state would never actually be removed
+            state.remove()
+            return
         n, chars, first, last = state.get if state.exists else (0, 0, None, None)
         for pdf in pdfs:
             if pdf.empty:
