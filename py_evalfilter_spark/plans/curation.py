@@ -5,6 +5,7 @@ data job actually runs:
 
     quality filter → repetition filter → PII scrub → exact dedup →
     MinHash-LSH near-dup clustering (keep one canonical doc per cluster) →
+    [semantic near-dup over the aligned embeddings table, optional] →
     benchmark decontamination → weighted source mixing → sequence packing
 
 Stage ordering is the cheap-to-expensive discipline: per-row JVM filters
@@ -34,6 +35,7 @@ def curate_corpus(
     *,
     quality_min: float = 0.5,
     minhash_threshold: float = 0.8,
+    semantic_threshold: float | None = None,
     decontam_n: int = 6,
     rates: dict[str, float] | None = None,
     budget: int = 256,
@@ -101,6 +103,23 @@ def curate_corpus(
         graph.dedup_keep_canonical(exact, pairs, src="doc_id", dst="dup_id"),
         "near_dedup",
     ).persist()
+
+    # 5b (optional): SEMANTIC near-dup — hyperplane-blocked cosine pairs
+    # over the vec_id-aligned embeddings table catch paraphrase-level dups
+    # the lexical MinHash can't; same cluster-then-keep-canonical shape
+    if semantic_threshold is not None:
+        vecs = (
+            spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+            .select(F.col("vec_id").alias("doc_id"), "embedding")
+            .join(neardup.select("doc_id"), "doc_id", "left_semi")
+        )
+        spairs = dedup.embedding_neardup_pairs(
+            vecs, "doc_id", "embedding", threshold=semantic_threshold
+        )
+        neardup = obs(
+            graph.dedup_keep_canonical(neardup, spairs, src="doc_id", dst="dup_id"),
+            "semantic_dedup",
+        ).persist()
 
     # 6: decontamination against the held-out benchmark slice
     clean = obs(

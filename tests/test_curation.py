@@ -72,3 +72,35 @@ class TestCuration:
         assert sorted(r["doc_id"] for r in rows) == sorted(
             r["doc_id"] for r in again
         )
+
+
+class TestSemanticStage:
+    def test_semantic_dedup_removes_all_embedding_pairs(self, spark):
+        """With the optional semantic stage on, no cosine-near pair may
+        survive: blocking is seed-deterministic, so pairs found on the
+        survivor subset are a subset of pairs found during curation — and
+        every pair has at least one non-canonical endpoint that was
+        dropped."""
+        from py_evalfilter_spark.operators import dedup as dedup_ops
+
+        obs: dict = {}
+        out = curation.curate_corpus(
+            spark, SF, semantic_threshold=0.95, budget=256, observations=obs
+        )
+        rows = out.collect()
+        counts = {k: o.get["rows"] for k, o in obs.items()}
+        assert counts["semantic_dedup"] <= counts["near_dedup"]
+        assert len(rows) == counts["decontaminate"]
+
+        survivors = spark.createDataFrame(
+            [(r["doc_id"],) for r in rows], "doc_id long"
+        )
+        vecs = (
+            spark.read.parquet(f"{SF}/embeddings.parquet")
+            .select(F.col("vec_id").alias("doc_id"), "embedding")
+            .join(survivors, "doc_id", "left_semi")
+        )
+        leftover = dedup_ops.embedding_neardup_pairs(
+            vecs, "doc_id", "embedding", threshold=0.95
+        )
+        assert leftover.count() == 0
