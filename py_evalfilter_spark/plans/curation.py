@@ -133,3 +133,102 @@ def curate_corpus(
 
     # 8: pack into fixed-token-budget training windows
     return corpus_ops.pack_sequences(mixed, budget=budget)
+
+
+def curate_corpus_staged(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    *,
+    quality_min: float = 0.5,
+    minhash_threshold: float = 0.8,
+    semantic_threshold: float | None = None,
+    decontam_n: int = 6,
+    rates: dict[str, float] | None = None,
+    budget: int = 256,
+    benchmark_source: str = "src0",
+) -> tuple[DataFrame, dict]:
+    """Durable, resumable curation: the same flow as :func:`curate_corpus`
+    split into three manifest-checkpointed stages (tables.run_stage — the
+    flagship pipeline's resume discipline):
+
+      filtered  quality + repetition + PII scrub
+      deduped   exact dedup + MinHash clustering (+ optional semantic)
+      packed    decontamination + mixing + packing
+
+    A rerun after a mid-job failure recomputes ONLY stages whose outputs
+    are missing or whose config fingerprint changed (e.g. a new `budget`
+    re-packs without re-deduping).  At 100 TB each boundary is a parquet
+    dataset, so the in-memory persist discipline of curate_corpus is
+    replaced by durable storage.  Returns (packed df, {stage: manifest});
+    each manifest carries a `resumed` flag."""
+    from ..sources import tables
+
+    docs_path = f"{sf_dir}/documents.parquet"
+    manifests: dict[str, dict] = {}
+
+    def stage(name: str, cfg: dict, build_fn) -> DataFrame:
+        df, m, skipped = tables.run_stage(
+            spark, f"{out_dir}/{name}", name, build_fn,
+            config=cfg, input_paths=[docs_path],
+        )
+        manifests[name] = {**m, "resumed": skipped}
+        return df
+
+    def build_filtered() -> DataFrame:
+        docs = spark.read.parquet(docs_path)
+        corpus = docs.filter(F.col("source") != benchmark_source).repartition(64)
+        quality = (
+            textanalysis.with_quality(corpus)
+            .filter(F.col("quality_score") >= quality_min)
+            .drop("n_tokens", "avg_token_len", "punct_ratio", "ws_ratio", "quality_score")
+        )
+        return pii.scrub_pii(corpus_ops.filter_repetitive(quality))
+
+    filtered = stage(
+        "filtered",
+        {"quality_min": quality_min, "benchmark_source": benchmark_source},
+        build_filtered,
+    )
+
+    def build_deduped() -> DataFrame:
+        survivors = dedup.exact_dedup(filtered, ["text"], "doc_id").select(
+            F.col("keep_id").alias("doc_id")
+        )
+        exact = filtered.join(survivors, "doc_id", "left_semi").persist()
+        pairs = dedup.minhash_lsh_pairs(
+            exact, "doc_id", "text", threshold=minhash_threshold, unit="word"
+        )
+        out = graph.dedup_keep_canonical(exact, pairs, src="doc_id", dst="dup_id")
+        if semantic_threshold is not None:
+            vecs = (
+                spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+                .select(F.col("vec_id").alias("doc_id"), "embedding")
+                .join(out.select("doc_id"), "doc_id", "left_semi")
+            )
+            spairs = dedup.embedding_neardup_pairs(
+                vecs, "doc_id", "embedding", threshold=semantic_threshold
+            )
+            out = graph.dedup_keep_canonical(out, spairs, src="doc_id", dst="dup_id")
+        return out
+
+    deduped = stage(
+        "deduped",
+        {"minhash_threshold": minhash_threshold, "semantic_threshold": semantic_threshold},
+        build_deduped,
+    )
+
+    def build_packed() -> DataFrame:
+        benchmark = spark.read.parquet(docs_path).filter(
+            F.col("source") == benchmark_source
+        )
+        clean = corpus_ops.decontaminate(deduped, benchmark, n=decontam_n)
+        mixed = corpus_ops.mix_sources(clean, rates) if rates else clean
+        return corpus_ops.pack_sequences(mixed, budget=budget)
+
+    packed = stage(
+        "packed",
+        {"decontam_n": decontam_n, "rates": rates, "budget": budget},
+        build_packed,
+    )
+    return packed, manifests

@@ -104,3 +104,47 @@ class TestSemanticStage:
             vecs, "doc_id", "embedding", threshold=0.95
         )
         assert leftover.count() == 0
+
+
+class TestStagedCuration:
+    def test_resume_recomputes_only_missing_stage(self, spark, tmp_path):
+        import shutil
+
+        out = str(tmp_path / "curated")
+        packed1, m1 = curation.curate_corpus_staged(spark, SF, out, budget=256)
+        rows1 = sorted(r["doc_id"] for r in packed1.collect())
+        assert not any(m["resumed"] for m in m1.values())
+
+        # simulate a failure that lost only the final stage
+        shutil.rmtree(f"{out}/packed")
+        packed2, m2 = curation.curate_corpus_staged(spark, SF, out, budget=256)
+        rows2 = sorted(r["doc_id"] for r in packed2.collect())
+        assert m2["filtered"]["resumed"] and m2["deduped"]["resumed"]
+        assert not m2["packed"]["resumed"]
+        assert rows1 == rows2
+
+    def test_config_change_invalidates_only_downstream(self, spark, tmp_path):
+        import pyspark.sql.functions as F2
+
+        out = str(tmp_path / "curated2")
+        packed1, _ = curation.curate_corpus_staged(spark, SF, out, budget=256)
+        # materialize BEFORE the re-run: the second call overwrites the
+        # packed stage directory, invalidating packed1's file listing
+        n_docs = packed1.count()
+        max_pack1 = packed1.agg(F2.max("pack_id")).collect()[0][0]
+        # re-pack at a different budget: dedup stages resume, packing reruns
+        packed2, m2 = curation.curate_corpus_staged(spark, SF, out, budget=64)
+        assert m2["filtered"]["resumed"] and m2["deduped"]["resumed"]
+        assert not m2["packed"]["resumed"]
+        assert packed2.count() == n_docs  # same docs, different pack ids
+        assert packed2.agg(F2.max("pack_id")).collect()[0][0] > max_pack1
+
+    def test_staged_equals_in_memory(self, spark, tmp_path):
+        out = str(tmp_path / "curated3")
+        packed, _ = curation.curate_corpus_staged(spark, SF, out, budget=256)
+        staged = sorted(r["doc_id"] for r in packed.collect())
+        mem = sorted(
+            r["doc_id"]
+            for r in curation.curate_corpus(spark, SF, budget=256).collect()
+        )
+        assert staged == mem

@@ -402,3 +402,54 @@ class TestAnnScaleHardening:
         # identical injected vectors share every bucket at any plane count:
         # the scaled blocking must keep all exact-dup pairs
         assert len(scaled) == len(fixed) == 10
+
+
+class TestMinhashWordUnit:
+    def test_word_unit_finds_word_neardups_and_skips_char_lookalikes(self, spark):
+        """unit='word': two docs sharing most WORDS pair up; two docs built
+        from the same character bigrams but different words do not (the
+        regime where char shingles flood buckets on small vocabularies)."""
+        from py_evalfilter_spark.operators import dedup
+
+        base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+        near = base.replace("kappa", "lambda")  # 9/11 word-2-shingles shared
+        docs = spark.createDataFrame(
+            [(0, base), (1, near), (2, "totally different words everywhere here now ok yes")],
+            "doc_id long, text string",
+        )
+        pairs = dedup.minhash_lsh_pairs(
+            docs, "doc_id", "text", n=2, threshold=0.6, unit="word"
+        ).collect()
+        assert {(p["doc_id"], p["dup_id"]) for p in pairs} == {(0, 1)}
+        # exact word-2-shingle jaccard of (base, near): 8 shared / 10 union
+        assert abs(pairs[0]["jaccard"] - 0.8) < 1e-6
+
+    def test_estimate_prefilter_keeps_borderline_pairs(self, spark):
+        """The JVM signature-estimate pre-filter (est >= thr - 3sigma) must
+        not drop a pair whose true jaccard sits just above threshold."""
+        from py_evalfilter_spark.operators import dedup
+
+        a = " ".join(f"w{i}" for i in range(40))
+        b = " ".join(f"w{i}" for i in range(8, 48))  # heavy overlap, j above 0.6
+        docs = spark.createDataFrame(
+            [(0, a), (1, b)], "doc_id long, text string"
+        )
+        pairs = dedup.minhash_lsh_pairs(
+            docs, "doc_id", "text", n=2, threshold=0.6, unit="word"
+        ).collect()
+        exact_j = pairs[0]["jaccard"] if pairs else None
+        # ground truth: word-2-shingles 8..39 shared = 31; union = 39+39-31
+        assert exact_j is not None and exact_j >= 0.6
+
+    def test_word_unit_signatures_deterministic(self, spark):
+        from py_evalfilter_spark.operators import dedup
+
+        docs = spark.createDataFrame(
+            [(i, f"tok{i} tok{i+1} tok{i+2} shared words here") for i in range(6)],
+            "doc_id long, text string",
+        )
+        s1 = dedup.minhash_signatures(docs, "doc_id", "text", unit="word").collect()
+        s2 = dedup.minhash_signatures(docs, "doc_id", "text", unit="word").collect()
+        assert sorted((r["doc_id"], tuple(r["signature"])) for r in s1) == sorted(
+            (r["doc_id"], tuple(r["signature"])) for r in s2
+        )
