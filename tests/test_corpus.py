@@ -215,3 +215,81 @@ class TestPii:
 
         df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
         assert "Python" not in _plan(pii.scrub_pii(df))
+
+
+class TestCorpusProperties:
+    """Hypothesis fuzz: the Spark operators vs pure-Python references on
+    one shared Spark round-trip per example batch (small frames, wide
+    input space)."""
+
+    def test_pack_sequences_matches_python_reference(self, spark):
+        import random
+
+        rng = random.Random(7)
+        for trial in range(5):
+            rows = []
+            for i in range(rng.randint(1, 40)):
+                src = f"s{rng.randint(0, 2)}"
+                words = " ".join("w" for _ in range(rng.randint(0, 30)))
+                rows.append((i, src, words))
+            budget = rng.choice([1, 7, 16, 64])
+            docs = spark.createDataFrame(
+                rows, "doc_id long, source string, text string"
+            )
+            got = {
+                r["doc_id"]: (r["pack_id"], r["pack_offset"], r["n_tokens"])
+                for r in corpus_ops.pack_sequences(docs, budget=budget).collect()
+            }
+            # python reference: same (source, doc_id) order, cumsum chunking
+            by_src: dict = {}
+            for i, src, text in sorted(rows):
+                by_src.setdefault(src, []).append((i, len(text.split())))
+            want = {}
+            for src, lst in by_src.items():
+                cum = 0
+                for i, ntok in lst:
+                    want[i] = (cum // budget, cum % budget, ntok)
+                    cum += ntok
+            assert got == want, f"trial {trial} budget {budget}"
+
+    def test_repetition_stats_matches_python_reference(self, spark):
+        import random
+        from collections import Counter
+
+        rng = random.Random(11)
+        vocab = ["aa", "bb", "cc"]
+        rows = []
+        for i in range(25):
+            n_lines = rng.randint(1, 6)
+            lines = [
+                " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 4)))
+                for _ in range(n_lines)
+            ]
+            rows.append((i, "\n".join(lines)))
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            r["doc_id"]: r for r in corpus_ops.repetition_stats(docs).collect()
+        }
+        for i, text in rows:
+            lines = [ln.strip() for ln in text.split("\n") if ln.strip()]
+            lc = Counter(lines)
+            n_lines = len(lines)
+            dup_frac = round(1.0 - len(lc) / n_lines, 4)
+            tot = sum(c * len(ln) for ln, c in lc.items())
+            dup_chars = sum(c * len(ln) for ln, c in lc.items() if c > 1)
+            dup_char_frac = round(dup_chars / max(tot, 1), 4)
+            words = [w for w in text.lower().replace("\n", " ").split() if w]
+            grams = Counter(
+                " ".join(words[j : j + 2]) for j in range(len(words) - 1)
+            )
+            if grams:
+                top_cnt, top_g = max((c, g) for g, c in grams.items())
+                gtot = sum(c * len(g) for g, c in grams.items())
+                top_frac = round(top_cnt * len(top_g) / max(gtot, 1), 4)
+            else:
+                top_frac = 0.0
+            row = got[i]
+            assert row["n_lines"] == n_lines, i
+            assert abs(row["dup_line_frac"] - dup_frac) < 1e-6, i
+            assert abs(row["dup_line_char_frac"] - dup_char_frac) < 1e-6, i
+            assert abs(row["top_bigram_frac"] - top_frac) < 1e-6, i
