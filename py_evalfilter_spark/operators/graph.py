@@ -33,15 +33,47 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 20,
+    driver_threshold: int = 1_000_000,
 ) -> DataFrame:
     """(node, comp) for every node appearing in `edges`; comp = min node id
     of the node's connected component.  Converges early when a round
-    changes no label (checked on the label frame, not the corpus)."""
+    changes no label (checked on the label frame, not the corpus).
+
+    Hybrid strategy: the dup-pair graph is normally orders of magnitude
+    smaller than the corpus, and the distributed loop's cost is dominated
+    by per-round job latency, not data.  Below ``driver_threshold``
+    undirected edges the components are solved with a path-compressed
+    union-find on the driver (one collect of id pairs — ~16 bytes/edge, so
+    the default 1M edges is ~32 MB); above it the O(log diameter)
+    distributed loop runs.  Both paths are exact; the pytest union-find
+    cross-check pins them against each other."""
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).filter(
         F.col("a") != F.col("b")
     )
     und = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
     und = und.localCheckpoint(eager=True)  # reused every round: fix the lineage once
+
+    if und.count() <= driver_threshold:
+        parent: dict = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        for row in und.collect():
+            ra, rb = find(row["a"]), find(row["b"])
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        rows = [(x, find(x)) for x in parent]
+        schema = und.select(
+            F.col("a").alias("node"), F.col("a").alias("comp")
+        ).schema
+        return edges.sparkSession.createDataFrame(rows, schema)
 
     labels = (
         und.select(F.col("a").alias("node"))

@@ -36,22 +36,35 @@ def _uf(edges):
     return {x: find(x) for x in parent}
 
 
+import pytest
+
+# driver_threshold=0 forces the DISTRIBUTED doubling loop; the default
+# takes the driver union-find path — every topology must agree on both
+BOTH_PATHS = pytest.mark.parametrize(
+    "kw", [{}, {"driver_threshold": 0}], ids=["driver", "distributed"]
+)
+
+
 class TestConnectedComponents:
-    def test_two_chains_and_star(self, spark):
+    @BOTH_PATHS
+    def test_two_chains_and_star(self, spark, kw):
         edges = [(0, 1), (1, 2), (2, 3)] + [(10, 11), (10, 12), (10, 13)]
-        got = _cc(spark, edges)
+        got = _cc(spark, edges, **kw)
         assert got == {0: 0, 1: 0, 2: 0, 3: 0, 10: 10, 11: 10, 12: 10, 13: 10}
 
-    def test_cycle_and_self_loop(self, spark):
-        got = _cc(spark, [(5, 6), (6, 7), (7, 5), (9, 9)])
+    @BOTH_PATHS
+    def test_cycle_and_self_loop(self, spark, kw):
+        got = _cc(spark, [(5, 6), (6, 7), (7, 5), (9, 9)], **kw)
         assert got == {5: 5, 6: 5, 7: 5}  # self-loop-only node drops out
 
-    def test_min_id_in_middle_of_chain(self, spark):
+    @BOTH_PATHS
+    def test_min_id_in_middle_of_chain(self, spark, kw):
         # min label must propagate BOTH directions from the middle
-        got = _cc(spark, [(50, 3), (3, 70), (70, 80)])
+        got = _cc(spark, [(50, 3), (3, 70), (70, 80)], **kw)
         assert got == {50: 3, 3: 3, 70: 3, 80: 3}
 
-    def test_matches_union_find_on_random_graphs(self, spark):
+    @BOTH_PATHS
+    def test_matches_union_find_on_random_graphs(self, spark, kw):
         rng = random.Random(1234)
         for trial in range(3):
             nodes = list(range(trial * 1000, trial * 1000 + 60))
@@ -59,14 +72,14 @@ class TestConnectedComponents:
                 (rng.choice(nodes), rng.choice(nodes)) for _ in range(40)
             ]
             edges = [e for e in edges if e[0] != e[1]]
-            assert _cc(spark, edges) == _uf(edges), f"trial {trial}"
+            assert _cc(spark, edges, **kw) == _uf(edges), f"trial {trial}"
 
     def test_long_chain_converges_via_doubling(self, spark):
         # a 300-node path has diameter 299; pointer doubling must close it
         # within the default max_iter=20 (~log2 rounds), where plain
-        # min-propagation would need ~299 rounds
+        # min-propagation would need ~299 rounds — forced distributed
         edges = [(i, i + 1) for i in range(300)]
-        got = _cc(spark, edges)
+        got = _cc(spark, edges, driver_threshold=0)
         assert set(got.values()) == {0} and len(got) == 301
 
 
