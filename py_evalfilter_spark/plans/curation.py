@@ -135,6 +135,31 @@ def curate_corpus(
     return corpus_ops.pack_sequences(mixed, budget=budget)
 
 
+def curation_stream_filters(
+    stream: DataFrame,
+    quality_min: float = 0.5,
+    rates: dict[str, float] | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """The STATELESS curation stages as a streaming ingest filter: quality
+    scoring/thresholding, PII scrub, and deterministic source mixing are
+    per-row (the mix joins a static broadcast dim), so the same operators
+    run unchanged on a stream — documents are triaged and redacted at
+    ingest, before they ever land in the corpus store.  The stateful stages
+    (dedup, clustering, decontamination, packing) remain batch/staged jobs
+    over the landed data; batch/stream parity is pinned in
+    tests/test_corpus.py."""
+    out = (
+        textanalysis.with_quality(stream)
+        .filter(F.col("quality_score") >= quality_min)
+        .drop("n_tokens", "avg_token_len", "punct_ratio", "ws_ratio", "quality_score")
+    )
+    out = pii.scrub_pii(out)
+    if rates:
+        out = corpus_ops.mix_sources(out, rates, seed=seed)
+    return out
+
+
 def curate_corpus_staged(
     spark: SparkSession,
     sf_dir: str,

@@ -293,3 +293,41 @@ class TestCorpusProperties:
             assert abs(row["dup_line_frac"] - dup_frac) < 1e-6, i
             assert abs(row["dup_line_char_frac"] - dup_char_frac) < 1e-6, i
             assert abs(row["top_bigram_frac"] - top_frac) < 1e-6, i
+
+
+class TestStreamingCurationFilters:
+    def test_stream_matches_batch(self, spark, tmp_path):
+        """The stateless curation front-door (quality -> PII scrub -> mix)
+        produces the identical document set and redacted texts on a stream
+        as in batch."""
+        from py_evalfilter_spark.plans import curation
+        from py_evalfilter_spark.streaming import sessions
+
+        docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+        src = str(tmp_path / "stream_docs")
+        docs.write.parquet(src)
+        rates = {f"src{i}": 0.8 for i in range(20)}
+
+        stream = spark.readStream.schema(docs.schema).parquet(src)
+        sessions.run_stream_once(
+            stream,
+            lambda s: curation.curation_stream_filters(s, rates=rates),
+            "stream_curated",
+        )
+        got = (
+            spark.sql("SELECT doc_id, text, n_email FROM stream_curated")
+            .toPandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        want = (
+            curation.curation_stream_filters(docs, rates=rates)
+            .select("doc_id", "text", "n_email")
+            .toPandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        import pandas as pd
+
+        assert len(got) > 0
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)

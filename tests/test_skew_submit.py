@@ -84,3 +84,42 @@ def test_spark_submit_pyfiles(tmp_path):
     manifest = json.load(open(f"{job_out}/_lineage_manifest.json"))
     assert manifest["stage"] == "feature_pipeline"
     assert sum(p["rows"] for p in manifest["partitions"]) == 1000
+
+
+def test_spark_submit_curate_cli(tmp_path):
+    """The curation CLI end-to-end via spark-submit --py-files: fresh run
+    writes three manifest-checkpointed stages; the rerun resumes all of
+    them (stage outputs intact, zero recompute)."""
+    out = subprocess.run(
+        [sys.executable, f"{REPO}/scripts/package_pyfiles.py"],
+        capture_output=True, text=True, check=True,
+    )
+    zip_path = out.stdout.strip().splitlines()[-1]
+    spark_submit = shutil.which("spark-submit") or "/opt/spark/bin/spark-submit"
+    curated = str(tmp_path / "curated")
+    cmd = [
+        spark_submit,
+        "--master", "local[4]",
+        "--conf", "spark.sql.session.timeZone=UTC",
+        "--conf", "spark.ui.enabled=false",
+        "--py-files", zip_path,
+        f"{REPO}/scripts/curate.py",
+        "/root/testdata/sf0.001",
+        curated,
+        "--budget", "128",
+    ]
+    env = {**os.environ, "PYTHONPATH": ""}
+
+    run1 = subprocess.run(cmd, capture_output=True, text=True, timeout=420, env=env)
+    assert run1.returncode == 0, run1.stderr[-3000:]
+    rep1 = json.loads(run1.stdout.strip().splitlines()[-1])
+    assert rep1["rows_packed"] > 0
+    assert not any(s["resumed"] for s in rep1["stages"].values())
+    for stage in ("filtered", "deduped", "packed"):
+        assert os.path.exists(f"{curated}/{stage}")
+
+    run2 = subprocess.run(cmd, capture_output=True, text=True, timeout=420, env=env)
+    assert run2.returncode == 0, run2.stderr[-3000:]
+    rep2 = json.loads(run2.stdout.strip().splitlines()[-1])
+    assert all(s["resumed"] for s in rep2["stages"].values())
+    assert rep2["rows_packed"] == rep1["rows_packed"]
