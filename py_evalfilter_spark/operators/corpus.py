@@ -108,7 +108,6 @@ def repetition_stats(
     is_line = F.col("kind") == "L"
     is_gram = F.col("kind") == "B"
     line_cnt = F.when(is_line, F.col("cnt"))
-    gram_cnt = F.when(is_gram, F.col("cnt"))
     stats = counts.groupBy(id_col).agg(
         F.sum(line_cnt).alias("n_lines"),
         F.round(1.0 - F.count(line_cnt) / F.sum(line_cnt), 4).alias("dup_line_frac"),

@@ -29,6 +29,33 @@ from ..operators import corpus as corpus_ops
 from ..operators import dedup, graph
 
 
+def _quality_filter(df: DataFrame, quality_min: float) -> DataFrame:
+    """Quality-score threshold, aux feature columns dropped — the shared
+    first stage of the batch, staged, and streaming curation flows."""
+    return (
+        textanalysis.with_quality(df)
+        .filter(F.col("quality_score") >= quality_min)
+        .drop("n_tokens", "avg_token_len", "punct_ratio", "ws_ratio", "quality_score")
+    )
+
+
+def _semantic_dedup(
+    spark: SparkSession, sf_dir: str, df: DataFrame, threshold: float
+) -> DataFrame:
+    """Hyperplane-blocked cosine pairs over the vec_id-aligned embeddings
+    table, restricted to surviving docs, then cluster-and-keep-canonical —
+    catches paraphrase-level dups lexical MinHash can't."""
+    vecs = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select(F.col("vec_id").alias("doc_id"), "embedding")
+        .join(df.select("doc_id"), "doc_id", "left_semi")
+    )
+    spairs = dedup.embedding_neardup_pairs(
+        vecs, "doc_id", "embedding", threshold=threshold
+    )
+    return graph.dedup_keep_canonical(df, spairs, src="doc_id", dst="dup_id")
+
+
 def curate_corpus(
     spark: SparkSession,
     sf_dir: str,
@@ -72,12 +99,7 @@ def curate_corpus(
 
     # 1-2: per-row quality + repetition filters (JVM expressions / one
     # tagged explode) — run FIRST so every later shuffle sees fewer rows
-    quality = obs(
-        textanalysis.with_quality(corpus)
-        .filter(F.col("quality_score") >= quality_min)
-        .drop("n_tokens", "avg_token_len", "punct_ratio", "ws_ratio", "quality_score"),
-        "quality",
-    ).persist()
+    quality = obs(_quality_filter(corpus, quality_min), "quality").persist()
     repeated = obs(corpus_ops.filter_repetitive(quality), "repetition")
 
     # 3: PII scrub (counts kept as features, text redacted in place)
@@ -104,20 +126,11 @@ def curate_corpus(
         "near_dedup",
     ).persist()
 
-    # 5b (optional): SEMANTIC near-dup — hyperplane-blocked cosine pairs
-    # over the vec_id-aligned embeddings table catch paraphrase-level dups
-    # the lexical MinHash can't; same cluster-then-keep-canonical shape
+    # 5b (optional): SEMANTIC near-dup — same cluster-then-keep-canonical
+    # shape over the embeddings table (_semantic_dedup)
     if semantic_threshold is not None:
-        vecs = (
-            spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-            .select(F.col("vec_id").alias("doc_id"), "embedding")
-            .join(neardup.select("doc_id"), "doc_id", "left_semi")
-        )
-        spairs = dedup.embedding_neardup_pairs(
-            vecs, "doc_id", "embedding", threshold=semantic_threshold
-        )
         neardup = obs(
-            graph.dedup_keep_canonical(neardup, spairs, src="doc_id", dst="dup_id"),
+            _semantic_dedup(spark, sf_dir, neardup, semantic_threshold),
             "semantic_dedup",
         ).persist()
 
@@ -149,12 +162,7 @@ def curation_stream_filters(
     (dedup, clustering, decontamination, packing) remain batch/staged jobs
     over the landed data; batch/stream parity is pinned in
     tests/test_corpus.py."""
-    out = (
-        textanalysis.with_quality(stream)
-        .filter(F.col("quality_score") >= quality_min)
-        .drop("n_tokens", "avg_token_len", "punct_ratio", "ws_ratio", "quality_score")
-    )
-    out = pii.scrub_pii(out)
+    out = pii.scrub_pii(_quality_filter(stream, quality_min))
     if rates:
         out = corpus_ops.mix_sources(out, rates, seed=seed)
     return out
@@ -203,11 +211,7 @@ def curate_corpus_staged(
     def build_filtered() -> DataFrame:
         docs = spark.read.parquet(docs_path)
         corpus = docs.filter(F.col("source") != benchmark_source).repartition(64)
-        quality = (
-            textanalysis.with_quality(corpus)
-            .filter(F.col("quality_score") >= quality_min)
-            .drop("n_tokens", "avg_token_len", "punct_ratio", "ws_ratio", "quality_score")
-        )
+        quality = _quality_filter(corpus, quality_min)
         return pii.scrub_pii(corpus_ops.filter_repetitive(quality))
 
     filtered = stage(
@@ -226,15 +230,7 @@ def curate_corpus_staged(
         )
         out = graph.dedup_keep_canonical(exact, pairs, src="doc_id", dst="dup_id")
         if semantic_threshold is not None:
-            vecs = (
-                spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-                .select(F.col("vec_id").alias("doc_id"), "embedding")
-                .join(out.select("doc_id"), "doc_id", "left_semi")
-            )
-            spairs = dedup.embedding_neardup_pairs(
-                vecs, "doc_id", "embedding", threshold=semantic_threshold
-            )
-            out = graph.dedup_keep_canonical(out, spairs, src="doc_id", dst="dup_id")
+            out = _semantic_dedup(spark, sf_dir, out, semantic_threshold)
         return out
 
     deduped = stage(
