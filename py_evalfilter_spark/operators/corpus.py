@@ -247,6 +247,45 @@ def pack_sequences(
 
 
 # ---------------------------------------------------------------------------
+# document chunking (fixed window + overlap)
+# ---------------------------------------------------------------------------
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_chars: int = 512,
+    overlap: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split documents into fixed-size overlapping character windows (the
+    RAG / context-window prep step): chunk i covers
+    [i*(chunk_chars-overlap), +chunk_chars).  Pure JVM — one
+    posexplode(sequence) + substring, no shuffle at all; the final chunk
+    may be shorter, an empty text yields one empty chunk.
+
+    Returns (id, chunk_idx int, chunk_start long, chunk_text)."""
+    if overlap >= chunk_chars:
+        raise ValueError(f"overlap {overlap} must be < chunk_chars {chunk_chars}")
+    step = chunk_chars - overlap
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.length(text_col) - 1, F.lit(0)), F.lit(step)
+    )
+    return df.select(
+        id_col,
+        text_col,
+        F.posexplode(starts).alias("chunk_idx", "chunk_start"),
+    ).select(
+        id_col,
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.col("chunk_start").cast("long").alias("chunk_start"),
+        F.expr(
+            f"substring({text_col}, chunk_start + 1, {chunk_chars})"
+        ).alias("chunk_text"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # weighted source mixing
 # ---------------------------------------------------------------------------
 

@@ -126,6 +126,38 @@ def connected_components(
     return labels
 
 
+def cluster_aware_split(
+    df: DataFrame,
+    pairs: DataFrame,
+    n_folds: int = 3,
+    id_col: str = "doc_id",
+    seed: int = 42,
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Leakage-safe fold assignment: near-duplicate documents must land in
+    the SAME fold (a near-dup of a training doc inside the eval fold is
+    train/test contamination that per-doc random splits cannot prevent).
+    Folds are assigned per CONNECTED COMPONENT of the dup-pair graph —
+    every member of a cluster shares its component's fold; docs in no pair
+    are their own singleton component.
+
+    The fold is an md5-uniform of the component id (portable to the DuckDB
+    oracle, deterministic under repartitioning).  Adds `fold` int."""
+    comp = connected_components(pairs, src=src, dst=dst).withColumnRenamed(
+        "node", id_col
+    )
+    withc = df.join(comp, id_col, "left").withColumn(
+        "comp", F.coalesce("comp", F.col(id_col))
+    )
+    h = F.conv(
+        F.substring(F.md5(F.concat_ws(":", F.col("comp"), F.lit(seed))), 1, 8), 16, 10
+    ).cast("long")
+    return withc.withColumn("fold", F.pmod(h, F.lit(n_folds)).cast("int")).drop(
+        "comp"
+    )
+
+
 def dedup_keep_canonical(
     df: DataFrame,
     pairs: DataFrame,

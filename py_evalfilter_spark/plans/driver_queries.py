@@ -1883,6 +1883,85 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-window overlapping chunking (operators/corpus.py) — the RAG /
+    context-window prep op: 120-char chunks, 24 overlap, pure JVM
+    posexplode+substring (zero shuffle)."""
+    from ..operators import corpus as corpus_ops
+
+    docs = _read(spark, sf_dir, "documents")
+    return corpus_ops.chunk_documents(docs, chunk_chars=120, overlap=24)
+
+
+SQL_CHUNK_DOCUMENTS = """
+SELECT doc_id,
+       CAST((s.i / 96) AS INTEGER) AS chunk_idx,
+       CAST(s.i AS BIGINT) AS chunk_start,
+       substr(text, CAST(s.i AS INTEGER) + 1, 120) AS chunk_text
+FROM documents,
+     UNNEST(generate_series(0, GREATEST(LENGTH(text) - 1, 0), 96)) AS s(i)
+"""
+
+
+def q_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe cluster-aware split (operators/graph.py): folds
+    assigned per connected component of the dup-pair graph (same edges as
+    dedup_cluster), so near-dups never straddle a fold boundary.  Per-fold
+    doc counts + id digest."""
+    from ..operators import graph
+
+    docs = _read(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("doc_id")
+    e = (
+        docs.select(
+            "doc_id",
+            "n_chars",
+            F.lag("doc_id").over(w).alias("pid"),
+            F.lag("n_chars").over(w).alias("pchars"),
+        )
+        .filter(
+            F.col("pid").isNotNull()
+            & (F.abs(F.col("n_chars") - F.col("pchars")) <= 50)
+        )
+        .select(F.col("pid").alias("id_a"), F.col("doc_id").alias("id_b"))
+    )
+    out = graph.cluster_aware_split(docs, e, n_folds=3, seed=42)
+    return out.groupBy("fold").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("doc_id").alias("id_sum"),
+    )
+
+
+SQL_CLUSTER_SPLIT = """
+WITH RECURSIVE base AS (
+  SELECT source, doc_id, n_chars,
+         LAG(doc_id) OVER (PARTITION BY source ORDER BY doc_id) AS pid,
+         LAG(n_chars) OVER (PARTITION BY source ORDER BY doc_id) AS pchars
+  FROM documents
+),
+e AS (
+  SELECT pid AS a, doc_id AS b FROM base
+  WHERE pid IS NOT NULL AND ABS(n_chars - pchars) <= 50
+),
+und AS (SELECT a, b FROM e UNION SELECT b AS a, a AS b FROM e),
+reach AS (
+  SELECT a AS node, a AS root FROM und
+  UNION
+  SELECT u.a AS node, r.root FROM und u JOIN reach r ON u.b = r.node
+),
+comps AS (SELECT node, MIN(root) AS comp FROM reach GROUP BY node),
+assigned AS (
+  SELECT d.doc_id,
+         CAST(
+           (CAST(concat('0x', substr(md5(COALESCE(c.comp, d.doc_id) || ':42'), 1, 8)) AS BIGINT)) % 3
+         AS INTEGER) AS fold
+  FROM documents d LEFT JOIN comps c ON d.doc_id = c.node
+)
+SELECT fold, CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(doc_id) AS BIGINT) AS id_sum
+FROM assigned GROUP BY fold
+"""
+
+
 SQL_MIX_SOURCES = """
 WITH rates(source, rate) AS (
   VALUES ('src1', 0.9), ('src3', 0.5), ('src5', 0.25), ('src7', 0.1)
@@ -1961,6 +2040,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mask_pii": q_mask_pii,
     "dedup_cluster": q_dedup_cluster,
     "curation_pipeline": q_curation_pipeline,
+    "chunk_documents": q_chunk_documents,
+    "cluster_split": q_cluster_split,
 }
 
 ORACLES: dict[str, str] = {
@@ -2014,6 +2095,8 @@ ORACLES: dict[str, str] = {
     "mix_sources": SQL_MIX_SOURCES,
     "mask_pii": SQL_MASK_PII,
     "dedup_cluster": SQL_DEDUP_CLUSTER,
+    "chunk_documents": SQL_CHUNK_DOCUMENTS,
+    "cluster_split": SQL_CLUSTER_SPLIT,
     # rows-only (Arrow-UDF tokenizers / banded-LSH internals / crc32 /
     # iterative component loops not expressible in ANSI SQL; allclose- or
     # recall-tested in pytest, and every curation_pipeline stage is

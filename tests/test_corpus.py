@@ -331,3 +331,53 @@ class TestStreamingCurationFilters:
 
         assert len(got) > 0
         pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+class TestChunkDocuments:
+    def test_windows_and_overlap(self, spark):
+        text = "".join(chr(ord("a") + i % 26) for i in range(25))
+        docs = spark.createDataFrame([(1, text), (2, "")], "doc_id long, text string")
+        rows = corpus_ops.chunk_documents(docs, chunk_chars=10, overlap=4).collect()
+        by_doc = {}
+        for r in rows:
+            by_doc.setdefault(r["doc_id"], []).append(r)
+        c1 = sorted(by_doc[1], key=lambda r: r["chunk_idx"])
+        # step 6: starts 0, 6, 12, 18, 24
+        assert [r["chunk_start"] for r in c1] == [0, 6, 12, 18, 24]
+        assert c1[0]["chunk_text"] == text[0:10]
+        assert c1[1]["chunk_text"] == text[6:16]  # 4-char overlap with chunk 0
+        assert c1[-1]["chunk_text"] == text[24:]  # short tail
+        # empty doc -> exactly one empty chunk
+        assert len(by_doc[2]) == 1 and by_doc[2][0]["chunk_text"] == ""
+
+    def test_rejects_bad_overlap(self, spark):
+        docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+        import pytest as _pt
+
+        with _pt.raises(ValueError):
+            corpus_ops.chunk_documents(docs, chunk_chars=8, overlap=8)
+
+    def test_no_shuffle(self, spark):
+        docs = spark.createDataFrame([(1, "abcdef")], "doc_id long, text string")
+        assert "Exchange" not in _plan(corpus_ops.chunk_documents(docs))
+
+
+class TestClusterAwareSplit:
+    def test_cluster_members_share_fold_and_singletons_spread(self, spark):
+        from py_evalfilter_spark.operators import graph
+
+        docs = spark.createDataFrame(
+            [(i,) for i in range(60)], "doc_id long"
+        )
+        pairs = spark.createDataFrame(
+            [(0, 1), (1, 2), (10, 11), (30, 31), (31, 32), (32, 33)],
+            "id_a long, id_b long",
+        )
+        out = graph.cluster_aware_split(docs, pairs, n_folds=3, seed=9)
+        folds = {r["doc_id"]: r["fold"] for r in out.collect()}
+        assert len(folds) == 60
+        for a, b in [(0, 1), (1, 2), (10, 11), (30, 31), (31, 32), (32, 33)]:
+            assert folds[a] == folds[b], (a, b)
+        # singletons actually spread over all folds
+        assert len({folds[i] for i in range(40, 60)}) == 3
+        assert all(0 <= f < 3 for f in folds.values())
