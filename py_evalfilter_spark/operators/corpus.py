@@ -262,14 +262,21 @@ def chunk_documents(
     RAG / context-window prep step): chunk i covers
     [i*(chunk_chars-overlap), +chunk_chars).  Pure JVM — one
     posexplode(sequence) + substring, no shuffle at all; the final chunk
-    may be shorter, an empty text yields one empty chunk.
+    may be shorter, an empty text yields one empty chunk.  Trailing starts
+    whose remaining tail is already inside the previous chunk (start +
+    overlap >= len, for start > 0) are dropped — emitting them would
+    produce fully-contained duplicate chunks whenever len % step falls in
+    1..overlap, bloating a RAG index with exact-duplicate entries.
 
     Returns (id, chunk_idx int, chunk_start long, chunk_text)."""
     if overlap >= chunk_chars:
         raise ValueError(f"overlap {overlap} must be < chunk_chars {chunk_chars}")
     step = chunk_chars - overlap
-    starts = F.sequence(
-        F.lit(0), F.greatest(F.length(text_col) - 1, F.lit(0)), F.lit(step)
+    starts = F.filter(
+        F.sequence(
+            F.lit(0), F.greatest(F.length(text_col) - 1, F.lit(0)), F.lit(step)
+        ),
+        lambda s: (s == F.lit(0)) | (s + overlap < F.length(text_col)),
     )
     return df.select(
         id_col,

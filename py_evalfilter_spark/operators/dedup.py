@@ -655,6 +655,7 @@ def embedding_neardup_pairs(
     target_bucket_rows: int | None = None,
     n_tables: int | None = None,
     target_recall: float = 0.95,
+    dim: int | None = None,
 ) -> DataFrame:
     """Cosine >= threshold pairs via MULTI-TABLE random-hyperplane blocking +
     exact verify (JVM-side dot products).  Fuzzy-dedup threshold semantics of
@@ -709,13 +710,17 @@ def embedding_neardup_pairs(
         ):
             n_planes -= 1
         n_tables = min(_lsh_tables_for_recall(threshold, n_planes, target_recall), 64)
-    # one driver job to pin the dimension, not one per table
-    head = d.select("vec").first()
-    if head is None:  # empty corpus: no pairs, keep the output schema
-        return d.select(
-            "doc_id", F.col("doc_id").alias("dup_id"), F.lit(0.0).alias("cosine")
-        ).limit(0)
-    dim = len(head["vec"])
+    if dim is None:
+        # one driver job to pin the dimension, not one per table.  Pass
+        # `dim` when the frame's lineage is expensive (e.g. a curation
+        # pipeline suffix): this .first() executes the whole upstream plan
+        # at CONSTRUCTION time otherwise.
+        head = d.select("vec").first()
+        if head is None:  # empty corpus: no pairs, keep the output schema
+            return d.select(
+                "doc_id", F.col("doc_id").alias("dup_id"), F.lit(0.0).alias("cosine")
+            ).limit(0)
+        dim = len(head["vec"])
     cands = None
     for t in range(n_tables):
         b = with_hyperplane_bucket(

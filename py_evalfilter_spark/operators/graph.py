@@ -33,7 +33,7 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 20,
-    driver_threshold: int = 1_000_000,
+    driver_threshold: int = 200_000,
 ) -> DataFrame:
     """(node, comp) for every node appearing in `edges`; comp = min node id
     of the node's connected component.  Converges early when a round
@@ -41,19 +41,29 @@ def connected_components(
 
     Hybrid strategy: the dup-pair graph is normally orders of magnitude
     smaller than the corpus, and the distributed loop's cost is dominated
-    by per-round job latency, not data.  Below ``driver_threshold``
-    undirected edges the components are solved with a path-compressed
-    union-find on the driver (one collect of id pairs — ~16 bytes/edge, so
-    the default 1M edges is ~32 MB); above it the O(log diameter)
-    distributed loop runs.  Both paths are exact; the pytest union-find
-    cross-check pins them against each other."""
+    by per-round job latency, not data.  At or below ``driver_threshold``
+    UNDIRECTED edges the components are solved with a path-compressed
+    union-find on the driver — one collect of one Row per undirected edge;
+    pyspark Rows cost ~100-300 bytes each on the driver heap, so the
+    default 200k edges is roughly 20-60 MB plus the parent dict (size the
+    threshold to the job's driver memory, not to 'edges are small').
+    Above the threshold the O(log diameter) distributed loop runs.  Both
+    paths are exact; the pytest union-find cross-check pins them against
+    each other."""
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).filter(
         F.col("a") != F.col("b")
     )
     und = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
-    und = und.localCheckpoint(eager=True)  # reused every round: fix the lineage once
+    # LAZY checkpoint, materialized by the count() below — a real SQL
+    # action.  An EAGER localCheckpoint materializes through an RDD-level
+    # job, which completes any upstream observe() node with an EMPTY
+    # metrics row and permanently poisons the caller's Observation (hit by
+    # curation's near_dedup stage metric when the semantic stage runs CC
+    # over an observed frame).
+    und = und.localCheckpoint(eager=False)  # reused every round: fix the lineage once
 
-    if und.count() <= driver_threshold:
+    # und holds both directions: und.count() is 2x the undirected edges
+    if und.count() <= 2 * driver_threshold:
         parent: dict = {}
 
         def find(x):
@@ -65,7 +75,8 @@ def connected_components(
                 parent[x], x = root, parent[x]
             return root
 
-        for row in und.collect():
+        # one direction only — half the rows shipped to the driver
+        for row in und.filter(F.col("a") < F.col("b")).collect():
             ra, rb = find(row["a"]), find(row["b"])
             if ra != rb:
                 parent[max(ra, rb)] = min(ra, rb)

@@ -40,20 +40,62 @@ def _quality_filter(df: DataFrame, quality_min: float) -> DataFrame:
 
 
 def _semantic_dedup(
-    spark: SparkSession, sf_dir: str, df: DataFrame, threshold: float
+    spark: SparkSession,
+    sf_dir: str,
+    df: DataFrame,
+    threshold: float,
+    ids_df: DataFrame | None = None,
 ) -> DataFrame:
     """Hyperplane-blocked cosine pairs over the vec_id-aligned embeddings
     table, restricted to surviving docs, then cluster-and-keep-canonical —
-    catches paraphrase-level dups lexical MinHash can't."""
-    vecs = (
-        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-        .select(F.col("vec_id").alias("doc_id"), "embedding")
-        .join(df.select("doc_id"), "doc_id", "left_semi")
+    catches paraphrase-level dups lexical MinHash can't.
+
+    `ids_df`: frame to derive the surviving-id set from (defaults to `df`).
+    Callers that attach an observe() metric to `df` pass the UNOBSERVED
+    twin here: the pair lineage is executed eagerly by the component loop,
+    and an observed node first-completed through those internal jobs can
+    deliver a schema-less metrics row that poisons the Observation —
+    keeping the observed node exclusively on the final output path gives
+    it exactly one clean completion."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    # probe the vector dimension from the RAW embeddings table (a one-row
+    # read), NOT through the curation lineage — leaving dim to the operator
+    # would run .first() on `vecs`, eagerly executing the whole upstream
+    # pipeline during plan construction
+    head = emb.select(F.size("embedding").alias("d")).first()
+    vecs = emb.select(F.col("vec_id").alias("doc_id"), "embedding").join(
+        (ids_df if ids_df is not None else df).select("doc_id"),
+        "doc_id",
+        "left_semi",
     )
     spairs = dedup.embedding_neardup_pairs(
-        vecs, "doc_id", "embedding", threshold=threshold
+        vecs, "doc_id", "embedding", threshold=threshold,
+        dim=head["d"] if head else None,
     )
     return graph.dedup_keep_canonical(df, spairs, src="doc_id", dst="dup_id")
+
+
+def _lexical_dedup(df: DataFrame, threshold: float, pin=lambda d, name: d) -> DataFrame:
+    """Exact dedup (min doc_id per distinct text) + word-shingle MinHash
+    clustering with one canonical doc kept per component — shared by the
+    in-memory and staged flows.  `pin(frame, name)` interposes the caller's
+    observe/persist at the two multiply-consumed boundaries
+    ('exact_dedup', 'near_dedup')."""
+    survivors = dedup.exact_dedup(df, ["text"], "doc_id").select(
+        F.col("keep_id").alias("doc_id")
+    )
+    exact = pin(df.join(survivors, "doc_id", "left_semi"), "exact_dedup")
+    # unit="word": these corpora draw from a small vocabulary, where char
+    # shingle sets coincide across unrelated docs and flood the LSH buckets
+    # (measured 5.2M candidates → 214 true pairs at sf0.1 with char
+    # shingles); word shingles keep the space discriminative
+    pairs = dedup.minhash_lsh_pairs(
+        df=exact, id_col="doc_id", text_col="text", threshold=threshold, unit="word"
+    )
+    return pin(
+        graph.dedup_keep_canonical(exact, pairs, src="doc_id", dst="dup_id"),
+        "near_dedup",
+    )
 
 
 def curate_corpus(
@@ -105,32 +147,27 @@ def curate_corpus(
     # 3: PII scrub (counts kept as features, text redacted in place)
     scrubbed = pii.scrub_pii(repeated).persist()
 
-    # 4: exact dedup — min doc_id survives per distinct text
-    survivors = dedup.exact_dedup(scrubbed, ["text"], "doc_id").select(
-        F.col("keep_id").alias("doc_id")
+    # 4-5: exact dedup + MinHash near-dup clustering (shared _lexical_dedup;
+    # pairs chain A~B, B~C, so one canonical doc per component is kept
+    # instead of dropping pair-wise).  The near_dedup observation attaches
+    # AFTER the persist boundary so the semantic stage's eager pair jobs
+    # run on the unobserved twin (see _semantic_dedup docstring).
+    neardup_raw = _lexical_dedup(
+        scrubbed,
+        minhash_threshold,
+        pin=lambda d, name: (
+            obs(d, name).persist() if name == "exact_dedup" else d.persist()
+        ),
     )
-    exact = obs(scrubbed.join(survivors, "doc_id", "left_semi"), "exact_dedup").persist()
-
-    # 5: near-dup clustering — LSH pairs chain (A~B, B~C), so cluster the
-    # pair graph and keep one canonical doc per component instead of
-    # dropping pair-wise
-    # unit="word": these corpora draw from a small vocabulary, where char
-    # shingle sets coincide across unrelated docs and flood the LSH buckets
-    # (measured 5.2M candidates → 214 true pairs at sf0.1 with char
-    # shingles); word shingles keep the space discriminative
-    pairs = dedup.minhash_lsh_pairs(
-        exact, "doc_id", "text", threshold=minhash_threshold, unit="word"
-    )
-    neardup = obs(
-        graph.dedup_keep_canonical(exact, pairs, src="doc_id", dst="dup_id"),
-        "near_dedup",
-    ).persist()
+    neardup = obs(neardup_raw, "near_dedup")
 
     # 5b (optional): SEMANTIC near-dup — same cluster-then-keep-canonical
     # shape over the embeddings table (_semantic_dedup)
     if semantic_threshold is not None:
         neardup = obs(
-            _semantic_dedup(spark, sf_dir, neardup, semantic_threshold),
+            _semantic_dedup(
+                spark, sf_dir, neardup, semantic_threshold, ids_df=neardup_raw
+            ),
             "semantic_dedup",
         ).persist()
 
@@ -191,10 +228,15 @@ def curate_corpus_staged(
 
     A rerun after a mid-job failure recomputes ONLY stages whose outputs
     are missing or whose config fingerprint changed (e.g. a new `budget`
-    re-packs without re-deduping).  At 100 TB each boundary is a parquet
-    dataset, so the in-memory persist discipline of curate_corpus is
-    replaced by durable storage.  Returns (packed df, {stage: manifest});
-    each manifest carries a `resumed` flag."""
+    re-packs without re-deduping).  Each stage's config CHAINS the
+    upstream stage's fingerprint, so changing an upstream parameter (e.g.
+    `quality_min` or `minhash_threshold`) invalidates every downstream
+    stage too — without the chain, a downstream stage whose own params
+    were unchanged would silently resume a stale output.  At 100 TB each
+    boundary is a parquet dataset, so the in-memory persist discipline of
+    curate_corpus is replaced by durable storage.  Returns
+    (packed df, {stage: manifest}); each manifest carries a `resumed`
+    flag."""
     from ..sources import tables
 
     docs_path = f"{sf_dir}/documents.parquet"
@@ -221,21 +263,21 @@ def curate_corpus_staged(
     )
 
     def build_deduped() -> DataFrame:
-        survivors = dedup.exact_dedup(filtered, ["text"], "doc_id").select(
-            F.col("keep_id").alias("doc_id")
+        out = _lexical_dedup(
+            filtered, minhash_threshold,
+            pin=lambda d, name: d.persist() if name == "exact_dedup" else d,
         )
-        exact = filtered.join(survivors, "doc_id", "left_semi").persist()
-        pairs = dedup.minhash_lsh_pairs(
-            exact, "doc_id", "text", threshold=minhash_threshold, unit="word"
-        )
-        out = graph.dedup_keep_canonical(exact, pairs, src="doc_id", dst="dup_id")
         if semantic_threshold is not None:
             out = _semantic_dedup(spark, sf_dir, out, semantic_threshold)
         return out
 
     deduped = stage(
         "deduped",
-        {"minhash_threshold": minhash_threshold, "semantic_threshold": semantic_threshold},
+        {
+            "upstream": manifests["filtered"]["config_fingerprint"],
+            "minhash_threshold": minhash_threshold,
+            "semantic_threshold": semantic_threshold,
+        },
         build_deduped,
     )
 
@@ -249,7 +291,13 @@ def curate_corpus_staged(
 
     packed = stage(
         "packed",
-        {"decontam_n": decontam_n, "rates": rates, "budget": budget},
+        {
+            "upstream": manifests["deduped"]["config_fingerprint"],
+            "benchmark_source": benchmark_source,
+            "decontam_n": decontam_n,
+            "rates": rates,
+            "budget": budget,
+        },
         build_packed,
     )
     return packed, manifests

@@ -1900,6 +1900,7 @@ SELECT doc_id,
        substr(text, CAST(s.i AS INTEGER) + 1, 120) AS chunk_text
 FROM documents,
      UNNEST(generate_series(0, GREATEST(LENGTH(text) - 1, 0), 96)) AS s(i)
+WHERE s.i = 0 OR s.i + 24 < LENGTH(text)  -- drop fully-contained tail chunks
 """
 
 

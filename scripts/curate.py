@@ -15,8 +15,8 @@ counts, resume flags, and wall time.
 
 from __future__ import annotations
 
+import argparse
 import json
-import sys
 import time
 
 
@@ -25,19 +25,23 @@ def main() -> None:
 
     from py_evalfilter_spark.plans import curation
 
-    args = sys.argv[1:]
-    sf_dir, out_dir = args[0], args[1]
-
-    def opt(flag: str, default, cast):
-        if flag in args:
-            return cast(args[args.index(flag) + 1])
-        return default
-
-    budget = opt("--budget", 256, int)
-    quality_min = opt("--quality-min", 0.5, float)
-    minhash_threshold = opt("--minhash-threshold", 0.8, float)
-    semantic_threshold = opt("--semantic-threshold", None, float)
-    decontam_n = opt("--decontam-n", 6, int)
+    # argparse, not a hand-rolled flag scan: a forgotten value or a
+    # misspelled flag must ERROR, not silently run a data-production job
+    # with defaults
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("sf_dir")
+    ap.add_argument("out_dir")
+    ap.add_argument("--budget", type=int, default=256)
+    ap.add_argument("--quality-min", type=float, default=0.5)
+    ap.add_argument("--minhash-threshold", type=float, default=0.8)
+    ap.add_argument("--semantic-threshold", type=float, default=None)
+    ap.add_argument("--decontam-n", type=int, default=6)
+    a = ap.parse_args()
+    sf_dir, out_dir = a.sf_dir, a.out_dir
+    budget, quality_min = a.budget, a.quality_min
+    minhash_threshold = a.minhash_threshold
+    semantic_threshold = a.semantic_threshold
+    decontam_n = a.decontam_n
 
     spark = SparkSession.builder.appName("curate_corpus").getOrCreate()
     t0 = time.perf_counter()

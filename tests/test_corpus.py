@@ -342,11 +342,17 @@ class TestChunkDocuments:
         for r in rows:
             by_doc.setdefault(r["doc_id"], []).append(r)
         c1 = sorted(by_doc[1], key=lambda r: r["chunk_idx"])
-        # step 6: starts 0, 6, 12, 18, 24
-        assert [r["chunk_start"] for r in c1] == [0, 6, 12, 18, 24]
+        # step 6: raw starts 0, 6, 12, 18, 24 — but start 24's tail (len 1)
+        # is fully inside chunk 18 (which reaches char 28), so it's dropped
+        assert [r["chunk_start"] for r in c1] == [0, 6, 12, 18]
         assert c1[0]["chunk_text"] == text[0:10]
         assert c1[1]["chunk_text"] == text[6:16]  # 4-char overlap with chunk 0
-        assert c1[-1]["chunk_text"] == text[24:]  # short tail
+        assert c1[-1]["chunk_text"] == text[18:]  # short tail covers to the end
+        # every character is covered despite the dropped start
+        covered = set()
+        for r in c1:
+            covered.update(range(r["chunk_start"], r["chunk_start"] + len(r["chunk_text"])))
+        assert covered == set(range(len(text)))
         # empty doc -> exactly one empty chunk
         assert len(by_doc[2]) == 1 and by_doc[2][0]["chunk_text"] == ""
 

@@ -148,3 +148,16 @@ class TestStagedCuration:
             for r in curation.curate_corpus(spark, SF, budget=256).collect()
         )
         assert staged == mem
+
+    def test_upstream_config_change_invalidates_downstream(self, spark, tmp_path):
+        """Changing an upstream stage's parameter must recompute every
+        downstream stage (fingerprint chaining) — without it, 'packed'
+        would silently resume output built from the OLD dedup threshold."""
+        out = str(tmp_path / "curated4")
+        curation.curate_corpus_staged(spark, SF, out, budget=256)
+        _, m2 = curation.curate_corpus_staged(
+            spark, SF, out, budget=256, minhash_threshold=0.7
+        )
+        assert m2["filtered"]["resumed"]
+        assert not m2["deduped"]["resumed"]
+        assert not m2["packed"]["resumed"]
