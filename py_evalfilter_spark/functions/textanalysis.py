@@ -108,6 +108,78 @@ def with_token_count(df: DataFrame, text_col: str = "text", out: str = "n_tokens
 
 
 # ---------------------------------------------------------------------------
+# unigram LM scoring — CCNet/GPT-3-style perplexity quality filtering
+# ---------------------------------------------------------------------------
+
+WORD_RE = "[^a-z0-9]+"
+
+
+def _word_tokens(text_col: str):
+    return F.filter(F.split(F.lower(F.col(text_col)), WORD_RE), lambda x: x != "")
+
+
+def unigram_model(
+    reference: DataFrame, text_col: str = "text", smoothing: float = 0.5
+) -> tuple[DataFrame, float]:
+    """Fit a smoothed unigram LM on a reference corpus: returns
+    (model(term, logp), oov_logp) with
+    logp = ln((count + s) / (N + s·(V+1))) — the +1 vocabulary slot holds
+    the out-of-vocabulary mass.
+
+    This is the relational core of perplexity-based quality filtering
+    (CCNet / GPT-3 appendix A: score crawl text against an LM fit on a
+    trusted corpus; keep the well-scored slice).  The unigram order keeps
+    every piece a DataFrame aggregation — fit is one groupBy, scoring one
+    broadcast join — and makes the operator exactly DuckDB-oracle-able;
+    a higher-order LM drops in by replacing the model frame.  The (N, V)
+    scalars come from a single-row collect (bounded by contract, like the
+    categorical-domain collects)."""
+    import math
+
+    counts = (
+        reference.select(F.explode(_word_tokens(text_col)).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    total = counts.agg(
+        F.sum("cnt").alias("n"), F.count(F.lit(1)).alias("v")
+    ).collect()[0]
+    n_tokens, vocab = int(total["n"] or 0), int(total["v"] or 0)
+    denom = n_tokens + smoothing * (vocab + 1)
+    model = counts.select(
+        "term", F.log((F.col("cnt") + smoothing) / F.lit(denom)).alias("logp")
+    )
+    return model, math.log(smoothing / denom)
+
+
+def with_unigram_logprob(
+    df: DataFrame,
+    model: DataFrame,
+    oov_logp: float,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    out: str = "avg_logprob",
+) -> DataFrame:
+    """Per-document mean token log-probability under a unigram model
+    (higher = more reference-like; threshold to filter).  The model
+    broadcasts; unknown terms take the OOV mass.  Docs with zero word
+    tokens score exactly `oov_logp` (maximally un-reference-like)."""
+    toks = df.select(id_col, F.explode(_word_tokens(text_col)).alias("term"))
+    scored = toks.join(F.broadcast(model), "term", "left").select(
+        id_col, F.coalesce("logp", F.lit(oov_logp)).alias("logp")
+    )
+    per_doc = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(F.avg("logp"), 4).alias(out),
+    )
+    return df.join(per_doc, id_col, "left").select(
+        df["*"],
+        F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+        F.coalesce(out, F.lit(round(oov_logp, 4))).alias(out),
+    )
+
+
+# ---------------------------------------------------------------------------
 # document fingerprinting — winnowed rolling hash (deterministic)
 # ---------------------------------------------------------------------------
 

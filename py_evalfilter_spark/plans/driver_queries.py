@@ -1963,6 +1963,54 @@ FROM assigned GROUP BY fold
 """
 
 
+def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM quality scoring (functions/textanalysis.unigram_model):
+    fit a smoothed unigram LM on the trusted slice (source='src0'), score
+    every other document's mean token log-probability — the relational
+    core of CCNet/GPT-3 perplexity filtering."""
+    from ..functions import textanalysis
+
+    docs = _read(spark, sf_dir, "documents")
+    ref = docs.filter(F.col("source") == "src0")
+    corpus = docs.filter(F.col("source") != "src0")
+    model, oov = textanalysis.unigram_model(ref)
+    return textanalysis.with_unigram_logprob(corpus, model, oov).select(
+        "doc_id", "n_tokens", "avg_logprob"
+    )
+
+
+SQL_LM_SCORE = f"""
+WITH ref_toks0 AS (
+  SELECT unnest(string_split_regex(lower(text), '{WORD_RE}')) AS term
+  FROM documents WHERE source = 'src0'
+),
+ref_counts AS (
+  SELECT term, COUNT(*) AS cnt FROM ref_toks0 WHERE term <> '' GROUP BY term
+),
+tot AS (
+  SELECT CAST(SUM(cnt) AS DOUBLE) AS n, CAST(COUNT(*) AS DOUBLE) AS v
+  FROM ref_counts
+),
+model AS (
+  SELECT term, ln((cnt + 0.5) / (n + 0.5 * (v + 1))) AS logp
+  FROM ref_counts, tot
+),
+ct0 AS (
+  SELECT doc_id, unnest(string_split_regex(lower(text), '{WORD_RE}')) AS term
+  FROM documents WHERE source <> 'src0'
+),
+ct AS (SELECT doc_id, term FROM ct0 WHERE term <> ''),
+scored AS (
+  SELECT c.doc_id,
+         COALESCE(m.logp, (SELECT ln(0.5 / (n + 0.5 * (v + 1))) FROM tot)) AS logp
+  FROM ct c LEFT JOIN model m USING (term)
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       ROUND(AVG(logp), 4) AS avg_logprob
+FROM scored GROUP BY doc_id
+"""
+
+
 SQL_MIX_SOURCES = """
 WITH rates(source, rate) AS (
   VALUES ('src1', 0.9), ('src3', 0.5), ('src5', 0.25), ('src7', 0.1)
@@ -2043,6 +2091,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "curation_pipeline": q_curation_pipeline,
     "chunk_documents": q_chunk_documents,
     "cluster_split": q_cluster_split,
+    "lm_score": q_lm_score,
 }
 
 ORACLES: dict[str, str] = {
@@ -2098,6 +2147,7 @@ ORACLES: dict[str, str] = {
     "dedup_cluster": SQL_DEDUP_CLUSTER,
     "chunk_documents": SQL_CHUNK_DOCUMENTS,
     "cluster_split": SQL_CLUSTER_SPLIT,
+    "lm_score": SQL_LM_SCORE,
     # rows-only (Arrow-UDF tokenizers / banded-LSH internals / crc32 /
     # iterative component loops not expressible in ANSI SQL; allclose- or
     # recall-tested in pytest, and every curation_pipeline stage is

@@ -387,3 +387,52 @@ class TestClusterAwareSplit:
         # singletons actually spread over all folds
         assert len({folds[i] for i in range(40, 60)}) == 3
         assert all(0 <= f < 3 for f in folds.values())
+
+
+class TestUnigramLM:
+    def test_hand_computed_logprobs(self, spark):
+        import math
+
+        from py_evalfilter_spark.functions import textanalysis
+
+        ref = spark.createDataFrame(
+            [(1, "cat cat dog")], "doc_id long, text string"
+        )
+        model, oov = textanalysis.unigram_model(ref, smoothing=0.5)
+        # N=3, V=2 -> denom = 3 + 0.5*3 = 4.5
+        rows = {r["term"]: r["logp"] for r in model.collect()}
+        assert abs(rows["cat"] - math.log(2.5 / 4.5)) < 1e-12
+        assert abs(rows["dog"] - math.log(1.5 / 4.5)) < 1e-12
+        assert abs(oov - math.log(0.5 / 4.5)) < 1e-12
+
+        docs = spark.createDataFrame(
+            [(10, "cat dog"), (11, "bird bird"), (12, "???")],
+            "doc_id long, text string",
+        )
+        out = {
+            r["doc_id"]: r
+            for r in textanalysis.with_unigram_logprob(docs, model, oov).collect()
+        }
+        want_10 = (math.log(2.5 / 4.5) + math.log(1.5 / 4.5)) / 2
+        assert abs(out[10]["avg_logprob"] - round(want_10, 4)) < 1e-9
+        assert abs(out[11]["avg_logprob"] - round(math.log(0.5 / 4.5), 4)) < 1e-9
+        assert out[12]["n_tokens"] == 0  # no word tokens -> oov fallback
+        assert abs(out[12]["avg_logprob"] - round(oov, 4)) < 1e-9
+
+    def test_reference_like_scores_higher(self, spark):
+        from py_evalfilter_spark.functions import textanalysis
+
+        ref = spark.createDataFrame(
+            [(i, "the quick brown fox jumps over the lazy dog") for i in range(5)],
+            "doc_id long, text string",
+        )
+        model, oov = textanalysis.unigram_model(ref)
+        docs = spark.createDataFrame(
+            [(1, "the quick brown fox"), (2, "zxq warg blarp fnord")],
+            "doc_id long, text string",
+        )
+        out = {
+            r["doc_id"]: r["avg_logprob"]
+            for r in textanalysis.with_unigram_logprob(docs, model, oov).collect()
+        }
+        assert out[1] > out[2]
