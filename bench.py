@@ -98,6 +98,10 @@ CONSUME: dict[str, list[str]] = {
         "count(*) AS n", "sum(n_docs) AS a",    # the full 8-stage curation flow
         "sum(n_packs) AS b", "sum(sum_tokens) AS c",
     ],
+    "lm_score": [
+        "count(*) AS n", "sum(n_tokens) AS a",  # tokenize + broadcast model join
+        "sum(avg_logprob) AS b",                # smoothed logprob aggregation
+    ],
 }
 
 BENCH_QUERIES = list(CONSUME)

@@ -188,6 +188,13 @@ class TestBenchedQueryPlans:
         assert "BroadcastHashJoin" in plan
         assert "Generate" in plan  # the n-gram explode survives
 
+    def test_lm_score_broadcasts_model(self, spark):
+        # the unigram model joins broadcast; the corpus side only shuffles
+        # for the per-doc aggregation
+        plan = self._benched(spark, "lm_score")
+        assert "BroadcastHashJoin" in plan
+        assert "Generate" in plan  # the tokenize explode survives
+
     def test_mask_pii_is_pure_jvm_regexp(self, spark):
         # plan toString truncates expression lists at 25 fields — widen so
         # the regexp expressions are visible to the assertion
