@@ -247,6 +247,37 @@ def pack_sequences(
 
 
 # ---------------------------------------------------------------------------
+# per-group document cap
+# ---------------------------------------------------------------------------
+
+
+def cap_per_group(
+    df: DataFrame,
+    max_per_group: int,
+    by: str = "source",
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Keep at most `max_per_group` documents per group (the curation step
+    that stops one crawl domain from dominating the mix).  Selection is a
+    deterministic md5-uniform shuffle of ids within the group — an unbiased
+    sample that is stable across runs and engines (same portable-hash idiom
+    as mix_sources), NOT first-N in storage order, which would bias toward
+    whatever the ingest happened to write first.  One window Exchange."""
+    from pyspark.sql import Window
+
+    u = F.conv(
+        F.substring(F.md5(F.concat_ws(":", F.col(id_col), F.lit(seed))), 1, 8), 16, 10
+    ).cast("long")
+    w = Window.partitionBy(by).orderBy(u, id_col)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= max_per_group)
+        .drop("__rn")
+    )
+
+
+# ---------------------------------------------------------------------------
 # document chunking (fixed window + overlap)
 # ---------------------------------------------------------------------------
 

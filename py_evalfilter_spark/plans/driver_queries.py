@@ -2011,6 +2011,35 @@ FROM scored GROUP BY doc_id
 """
 
 
+def q_cap_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source doc cap (operators/corpus.py): keep ≤15 docs per source
+    by deterministic md5-uniform shuffle — per-source kept counts + id
+    digest verify the exact selection."""
+    from ..operators import corpus as corpus_ops
+
+    docs = _read(spark, sf_dir, "documents")
+    capped = corpus_ops.cap_per_group(docs, max_per_group=15, seed=42)
+    return capped.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("doc_id").alias("id_sum"),
+    )
+
+
+SQL_CAP_PER_GROUP = """
+WITH ranked AS (
+  SELECT source, doc_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY CAST(concat('0x', substr(md5(doc_id || ':42'), 1, 8)) AS BIGINT),
+                    doc_id
+         ) AS rn
+  FROM documents
+)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_kept, CAST(SUM(doc_id) AS BIGINT) AS id_sum
+FROM ranked WHERE rn <= 15 GROUP BY source
+"""
+
+
 SQL_MIX_SOURCES = """
 WITH rates(source, rate) AS (
   VALUES ('src1', 0.9), ('src3', 0.5), ('src5', 0.25), ('src7', 0.1)
@@ -2092,6 +2121,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "chunk_documents": q_chunk_documents,
     "cluster_split": q_cluster_split,
     "lm_score": q_lm_score,
+    "cap_per_group": q_cap_per_group,
 }
 
 ORACLES: dict[str, str] = {
@@ -2148,6 +2178,7 @@ ORACLES: dict[str, str] = {
     "chunk_documents": SQL_CHUNK_DOCUMENTS,
     "cluster_split": SQL_CLUSTER_SPLIT,
     "lm_score": SQL_LM_SCORE,
+    "cap_per_group": SQL_CAP_PER_GROUP,
     # rows-only (Arrow-UDF tokenizers / banded-LSH internals / crc32 /
     # iterative component loops not expressible in ANSI SQL; allclose- or
     # recall-tested in pytest, and every curation_pipeline stage is

@@ -436,3 +436,30 @@ class TestUnigramLM:
             for r in textanalysis.with_unigram_logprob(docs, model, oov).collect()
         }
         assert out[1] > out[2]
+
+
+class TestCapPerGroup:
+    def test_cap_deterministic_and_order_insensitive(self, spark):
+        rows = [(i, f"src{i % 3}") for i in range(90)]
+        docs = spark.createDataFrame(rows, "doc_id long, source string")
+        a = corpus_ops.cap_per_group(docs, max_per_group=10, seed=4).collect()
+        per_src = {}
+        for r in a:
+            per_src.setdefault(r["source"], set()).add(r["doc_id"])
+        assert all(len(v) == 10 for v in per_src.values())
+        # same selection regardless of input partitioning/order
+        b = corpus_ops.cap_per_group(
+            docs.repartition(13).sortWithinPartitions(F.desc("doc_id")),
+            max_per_group=10, seed=4,
+        ).collect()
+        assert sorted(r["doc_id"] for r in a) == sorted(r["doc_id"] for r in b)
+        # a different seed picks a different subset (shuffle, not first-N)
+        c = {r["doc_id"] for r in corpus_ops.cap_per_group(docs, 10, seed=5).collect()}
+        assert c != {r["doc_id"] for r in a}
+
+    def test_groups_below_cap_untouched(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "x"), (2, "x"), (3, "y")], "doc_id long, source string"
+        )
+        out = corpus_ops.cap_per_group(docs, max_per_group=5)
+        assert out.count() == 3
