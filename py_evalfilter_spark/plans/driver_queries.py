@@ -1967,16 +1967,19 @@ def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram-LM quality scoring (functions/textanalysis.unigram_model):
     fit a smoothed unigram LM on the trusted slice (source='src0'), score
     every other document's mean token log-probability — the relational
-    core of CCNet/GPT-3 perplexity filtering."""
+    core of CCNet/GPT-3 perplexity filtering.  The fit exercises the
+    web-scale vocabulary cap (max_features=20 of ~31 distinct terms here:
+    the dropped tail's mass folds into the OOV slot) and the scorer's
+    size-gated broadcast (model_rows known and small → hint applied)."""
     from ..functions import textanalysis
 
     docs = _read(spark, sf_dir, "documents")
     ref = docs.filter(F.col("source") == "src0")
     corpus = docs.filter(F.col("source") != "src0")
-    model, oov = textanalysis.unigram_model(ref)
-    return textanalysis.with_unigram_logprob(corpus, model, oov).select(
-        "doc_id", "n_tokens", "avg_logprob"
-    )
+    lm = textanalysis.unigram_model(ref, max_features=20)
+    return textanalysis.with_unigram_logprob(
+        corpus, lm.model, lm.oov_logp, model_rows=lm.rows
+    ).select("doc_id", "n_tokens", "avg_logprob")
 
 
 SQL_LM_SCORE = f"""
@@ -1987,13 +1990,16 @@ WITH ref_toks0 AS (
 ref_counts AS (
   SELECT term, COUNT(*) AS cnt FROM ref_toks0 WHERE term <> '' GROUP BY term
 ),
-tot AS (
-  SELECT CAST(SUM(cnt) AS DOUBLE) AS n, CAST(COUNT(*) AS DOUBLE) AS v
-  FROM ref_counts
+kept AS (
+  SELECT term, cnt FROM ref_counts ORDER BY cnt DESC, term ASC LIMIT 20
+),
+tot AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS n FROM ref_counts),
+kstat AS (
+  SELECT CAST(SUM(cnt) AS DOUBLE) AS ks, CAST(COUNT(*) AS DOUBLE) AS kc FROM kept
 ),
 model AS (
-  SELECT term, ln((cnt + 0.5) / (n + 0.5 * (v + 1))) AS logp
-  FROM ref_counts, tot
+  SELECT term, ln((cnt + 0.5) / (n + 0.5 * (kc + 1))) AS logp
+  FROM kept, tot, kstat
 ),
 ct0 AS (
   SELECT doc_id, unnest(string_split_regex(lower(text), '{WORD_RE}')) AS term
@@ -2002,7 +2008,9 @@ ct0 AS (
 ct AS (SELECT doc_id, term FROM ct0 WHERE term <> ''),
 scored AS (
   SELECT c.doc_id,
-         COALESCE(m.logp, (SELECT ln(0.5 / (n + 0.5 * (v + 1))) FROM tot)) AS logp
+         COALESCE(m.logp,
+                  (SELECT ln((n - ks + 0.5) / (n + 0.5 * (kc + 1))) FROM tot, kstat)
+         ) AS logp
   FROM ct c LEFT JOIN model m USING (term)
 )
 SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,

@@ -398,7 +398,8 @@ class TestUnigramLM:
         ref = spark.createDataFrame(
             [(1, "cat cat dog")], "doc_id long, text string"
         )
-        model, oov = textanalysis.unigram_model(ref, smoothing=0.5)
+        model, oov, n_rows = textanalysis.unigram_model(ref, smoothing=0.5)
+        assert n_rows == 2
         # N=3, V=2 -> denom = 3 + 0.5*3 = 4.5
         rows = {r["term"]: r["logp"] for r in model.collect()}
         assert abs(rows["cat"] - math.log(2.5 / 4.5)) < 1e-12
@@ -426,7 +427,7 @@ class TestUnigramLM:
             [(i, "the quick brown fox jumps over the lazy dog") for i in range(5)],
             "doc_id long, text string",
         )
-        model, oov = textanalysis.unigram_model(ref)
+        model, oov, _ = textanalysis.unigram_model(ref)
         docs = spark.createDataFrame(
             [(1, "the quick brown fox"), (2, "zxq warg blarp fnord")],
             "doc_id long, text string",
@@ -436,6 +437,80 @@ class TestUnigramLM:
             for r in textanalysis.with_unigram_logprob(docs, model, oov).collect()
         }
         assert out[1] > out[2]
+
+    def test_max_features_folds_tail_into_oov(self, spark):
+        # N=6, counts: cat=3 dog=2 emu=1.  max_features=2 keeps cat,dog;
+        # emu's mass folds into OOV: denom = 6 + 0.5*(2+1) = 7.5,
+        # oov = ln((1 + 0.5)/7.5)
+        import math
+
+        from py_evalfilter_spark.functions import textanalysis
+
+        ref = spark.createDataFrame(
+            [(1, "cat cat cat dog dog emu")], "doc_id long, text string"
+        )
+        lm = textanalysis.unigram_model(ref, smoothing=0.5, max_features=2)
+        assert lm.rows == 2
+        rows = {r["term"]: r["logp"] for r in lm.model.collect()}
+        assert set(rows) == {"cat", "dog"}
+        assert abs(rows["cat"] - math.log(3.5 / 7.5)) < 1e-12
+        assert abs(lm.oov_logp - math.log(1.5 / 7.5)) < 1e-12
+        # dropped term scores exactly the OOV mass now
+        docs = spark.createDataFrame([(10, "emu")], "doc_id long, text string")
+        out = textanalysis.with_unigram_logprob(
+            docs, lm.model, lm.oov_logp, model_rows=lm.rows
+        ).collect()[0]
+        assert abs(out["avg_logprob"] - round(math.log(1.5 / 7.5), 4)) < 1e-9
+
+    def test_max_features_tie_break_count_desc_term_asc(self, spark):
+        from py_evalfilter_spark.functions import textanalysis
+
+        ref = spark.createDataFrame(
+            [(1, "bb aa cc bb aa cc dd")], "doc_id long, text string"
+        )
+        lm = textanalysis.unigram_model(ref, max_features=2)
+        kept = sorted(r["term"] for r in lm.model.collect())
+        assert kept == ["aa", "bb"]  # all cnt=2 except dd; term ASC breaks tie
+
+    def test_min_df_drops_tail(self, spark):
+        from py_evalfilter_spark.functions import textanalysis
+
+        ref = spark.createDataFrame(
+            [(1, "cat cat dog emu")], "doc_id long, text string"
+        )
+        lm = textanalysis.unigram_model(ref, min_df=2)
+        assert {r["term"] for r in lm.model.collect()} == {"cat"}
+        assert lm.rows == 1
+
+    def test_broadcast_gated_on_known_model_rows(self, spark):
+        # Known-small model -> explicit broadcast hint in the plan; a model
+        # of UNKNOWN or too-large row count must NOT carry the hint (the
+        # web-scale vocabulary would OOM executors; Catalyst/AQE decides).
+        from py_evalfilter_spark.functions import textanalysis
+
+        ref = spark.createDataFrame(
+            [(1, "cat cat dog emu")], "doc_id long, text string"
+        )
+        docs = spark.createDataFrame([(10, "cat emu")], "doc_id long, text string")
+        lm = textanalysis.unigram_model(ref, max_features=2)
+
+        hinted = textanalysis.with_unigram_logprob(
+            docs, lm.model, lm.oov_logp, model_rows=lm.rows
+        )
+        assert "ResolvedHint" in str(hinted._jdf.queryExecution().analyzed())
+
+        for kwargs in ({}, {"model_rows": 10**9}):
+            unhinted = textanalysis.with_unigram_logprob(
+                docs, lm.model, lm.oov_logp, **kwargs
+            )
+            assert "ResolvedHint" not in str(
+                unhinted._jdf.queryExecution().analyzed()
+            ), kwargs
+            # semantics identical either way
+            assert (
+                unhinted.collect()[0]["avg_logprob"]
+                == hinted.collect()[0]["avg_logprob"]
+            )
 
 
 class TestCapPerGroup:
