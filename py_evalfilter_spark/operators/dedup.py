@@ -36,6 +36,9 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..pinning import PinScope
+from ..pinning import pin as _pin
+
 _MERSENNE = (1 << 61) - 1
 
 
@@ -417,6 +420,7 @@ def minhash_lsh_pairs(
     seed: int = 42,
     unit: str = "char",
     est_margin: float = 0.15,
+    pins: "PinScope | None" = None,
 ) -> DataFrame:
     """Banded-LSH candidates verified with EXACT shingle Jaccard.
 
@@ -436,7 +440,9 @@ def minhash_lsh_pairs(
     """
     assert num_perm % bands == 0
     r = num_perm // bands
-    sigs = minhash_signatures(df, id_col, text_col, n, num_perm, seed, unit=unit).persist()
+    sigs = _pin(
+        minhash_signatures(df, id_col, text_col, n, num_perm, seed, unit=unit), pins
+    )
     banded = sigs.select(
         "doc_id",
         F.posexplode(
@@ -449,8 +455,8 @@ def minhash_lsh_pairs(
     # persist: the bucket self-join reads `banded` on BOTH sides, and
     # broadcast/shuffle sides don't share an Exchange — without pinning,
     # the signature Arrow pass runs twice (measured 2x the pair cost at
-    # sf0.1).  Small frame (id, band, bucket); caller owns eviction.
-    banded = banded.persist()
+    # sf0.1).  Small frame (id, band, bucket); eviction via `pins`.
+    banded = _pin(banded, pins)
     l = banded.alias("l")
     rt = banded.alias("r")
     cands = (
@@ -656,6 +662,7 @@ def embedding_neardup_pairs(
     n_tables: int | None = None,
     target_recall: float = 0.95,
     dim: int | None = None,
+    pins: "PinScope | None" = None,
 ) -> DataFrame:
     """Cosine >= threshold pairs via MULTI-TABLE random-hyperplane blocking +
     exact verify (JVM-side dot products).  Fuzzy-dedup threshold semantics of
@@ -692,10 +699,13 @@ def embedding_neardup_pairs(
 
     # persist: every table's bucketing plus both verify-joins read `d` —
     # without pinning, the upstream lineage re-executes n_tables+2 times
-    d = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.transform(vec_col, lambda x: x.cast("double")).alias("vec"),
-    ).persist()
+    d = _pin(
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.transform(vec_col, lambda x: x.cast("double")).alias("vec"),
+        ),
+        pins,
+    )
     if target_bucket_rows:
         n = df.count()
         n_planes = max(

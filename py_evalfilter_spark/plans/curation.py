@@ -27,6 +27,14 @@ from pyspark.sql import functions as F
 from ..functions import pii, textanalysis
 from ..operators import corpus as corpus_ops
 from ..operators import dedup, graph
+from ..pinning import PinScope
+
+
+def input_partitions(spark: SparkSession) -> int:
+    """Input-layout normalization width: 2x defaultParallelism (the classic
+    slight-overdecomposition so stragglers rebalance), replacing the old
+    hard-coded 64 which under-splits past 32 cores (VERDICT r3 #3)."""
+    return 2 * spark.sparkContext.defaultParallelism
 
 
 def _quality_filter(df: DataFrame, quality_min: float) -> DataFrame:
@@ -45,6 +53,7 @@ def _semantic_dedup(
     df: DataFrame,
     threshold: float,
     ids_df: DataFrame | None = None,
+    pins: PinScope | None = None,
 ) -> DataFrame:
     """Hyperplane-blocked cosine pairs over the vec_id-aligned embeddings
     table, restricted to surviving docs, then cluster-and-keep-canonical —
@@ -70,12 +79,17 @@ def _semantic_dedup(
     )
     spairs = dedup.embedding_neardup_pairs(
         vecs, "doc_id", "embedding", threshold=threshold,
-        dim=head["d"] if head else None,
+        dim=head["d"] if head else None, pins=pins,
     )
     return graph.dedup_keep_canonical(df, spairs, src="doc_id", dst="dup_id")
 
 
-def _lexical_dedup(df: DataFrame, threshold: float, pin=lambda d, name: d) -> DataFrame:
+def _lexical_dedup(
+    df: DataFrame,
+    threshold: float,
+    pin=lambda d, name: d,
+    pins: PinScope | None = None,
+) -> DataFrame:
     """Exact dedup (min doc_id per distinct text) + word-shingle MinHash
     clustering with one canonical doc kept per component — shared by the
     in-memory and staged flows.  `pin(frame, name)` interposes the caller's
@@ -90,7 +104,8 @@ def _lexical_dedup(df: DataFrame, threshold: float, pin=lambda d, name: d) -> Da
     # (measured 5.2M candidates → 214 true pairs at sf0.1 with char
     # shingles); word shingles keep the space discriminative
     pairs = dedup.minhash_lsh_pairs(
-        df=exact, id_col="doc_id", text_col="text", threshold=threshold, unit="word"
+        df=exact, id_col="doc_id", text_col="text", threshold=threshold,
+        unit="word", pins=pins,
     )
     return pin(
         graph.dedup_keep_canonical(exact, pairs, src="doc_id", dst="dup_id"),
@@ -110,11 +125,16 @@ def curate_corpus(
     budget: int = 256,
     benchmark_source: str = "src0",
     observations: dict[str, Observation] | None = None,
+    pins: PinScope | None = None,
 ) -> DataFrame:
     """Returns the packed training corpus: documents columns + n_email/
     n_ip/n_phone (PII counts), n_tokens, pack_id, pack_offset — text
     redacted.  Pass `observations={}` to receive per-stage Observations
-    (read `.get` after an action on the result)."""
+    (read `.get` after an action on the result).  Pass a
+    :class:`~py_evalfilter_spark.pinning.PinScope` to own eviction of the
+    stage-boundary persists: release it after materializing the result and
+    storage memory returns to baseline."""
+    from ..pinning import pin as _p
 
     def obs(df: DataFrame, stage: str) -> DataFrame:
         if observations is None:
@@ -126,7 +146,9 @@ def curate_corpus(
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     benchmark = docs.filter(F.col("source") == benchmark_source)
     corpus = obs(
-        docs.filter(F.col("source") != benchmark_source).repartition(64),
+        docs.filter(F.col("source") != benchmark_source).repartition(
+            input_partitions(spark)
+        ),
         "input",
     )
 
@@ -136,16 +158,16 @@ def curate_corpus(
     # multiplicatively down the chain — measured 75 s → 13 s at sf0.1.  In
     # a 100 TB job the same boundaries are durable stage outputs
     # (tables.run_stage parquet checkpoints); in-memory persist is the
-    # single-job equivalent.  Caller owns the final unpersist (Spark evicts
-    # LRU under pressure).
+    # single-job equivalent.  Eviction: the `pins` scope (pinning.py);
+    # without one, frames stay in the session cache under LRU.
 
     # 1-2: per-row quality + repetition filters (JVM expressions / one
     # tagged explode) — run FIRST so every later shuffle sees fewer rows
-    quality = obs(_quality_filter(corpus, quality_min), "quality").persist()
+    quality = _p(obs(_quality_filter(corpus, quality_min), "quality"), pins)
     repeated = obs(corpus_ops.filter_repetitive(quality), "repetition")
 
     # 3: PII scrub (counts kept as features, text redacted in place)
-    scrubbed = pii.scrub_pii(repeated).persist()
+    scrubbed = _p(pii.scrub_pii(repeated), pins)
 
     # 4-5: exact dedup + MinHash near-dup clustering (shared _lexical_dedup;
     # pairs chain A~B, B~C, so one canonical doc per component is kept
@@ -156,20 +178,25 @@ def curate_corpus(
         scrubbed,
         minhash_threshold,
         pin=lambda d, name: (
-            obs(d, name).persist() if name == "exact_dedup" else d.persist()
+            _p(obs(d, name), pins) if name == "exact_dedup" else _p(d, pins)
         ),
+        pins=pins,
     )
     neardup = obs(neardup_raw, "near_dedup")
 
     # 5b (optional): SEMANTIC near-dup — same cluster-then-keep-canonical
     # shape over the embeddings table (_semantic_dedup)
     if semantic_threshold is not None:
-        neardup = obs(
-            _semantic_dedup(
-                spark, sf_dir, neardup, semantic_threshold, ids_df=neardup_raw
+        neardup = _p(
+            obs(
+                _semantic_dedup(
+                    spark, sf_dir, neardup, semantic_threshold,
+                    ids_df=neardup_raw, pins=pins,
+                ),
+                "semantic_dedup",
             ),
-            "semantic_dedup",
-        ).persist()
+            pins,
+        )
 
     # 6: decontamination against the held-out benchmark slice
     clean = obs(
@@ -242,17 +269,28 @@ def curate_corpus_staged(
     docs_path = f"{sf_dir}/documents.parquet"
     manifests: dict[str, dict] = {}
 
+    # Stage-internal persists release as soon as run_stage returns: the
+    # stage output is durable parquet by then, so the intermediates are
+    # dead weight — unlike the in-memory flow, the staged flow has a
+    # natural eviction boundary and never accumulates cache across stages.
+    stage_pins = PinScope()
+
     def stage(name: str, cfg: dict, build_fn) -> DataFrame:
-        df, m, skipped = tables.run_stage(
-            spark, f"{out_dir}/{name}", name, build_fn,
-            config=cfg, input_paths=[docs_path],
-        )
+        try:
+            df, m, skipped = tables.run_stage(
+                spark, f"{out_dir}/{name}", name, build_fn,
+                config=cfg, input_paths=[docs_path],
+            )
+        finally:
+            stage_pins.release()
         manifests[name] = {**m, "resumed": skipped}
         return df
 
     def build_filtered() -> DataFrame:
         docs = spark.read.parquet(docs_path)
-        corpus = docs.filter(F.col("source") != benchmark_source).repartition(64)
+        corpus = docs.filter(F.col("source") != benchmark_source).repartition(
+            input_partitions(spark)
+        )
         quality = _quality_filter(corpus, quality_min)
         return pii.scrub_pii(corpus_ops.filter_repetitive(quality))
 
@@ -265,10 +303,15 @@ def curate_corpus_staged(
     def build_deduped() -> DataFrame:
         out = _lexical_dedup(
             filtered, minhash_threshold,
-            pin=lambda d, name: d.persist() if name == "exact_dedup" else d,
+            pin=lambda d, name: (
+                stage_pins.pin(d) if name == "exact_dedup" else d
+            ),
+            pins=stage_pins,
         )
         if semantic_threshold is not None:
-            out = _semantic_dedup(spark, sf_dir, out, semantic_threshold)
+            out = _semantic_dedup(
+                spark, sf_dir, out, semantic_threshold, pins=stage_pins
+            )
         return out
 
     deduped = stage(

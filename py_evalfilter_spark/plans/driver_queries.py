@@ -1605,9 +1605,11 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the explode+count runs as a single task; at corpus scale the input
     # splits already provide this parallelism and the operator itself adds
     # no shuffle (tested single-Generate/no-join plan)
-    docs = _read(spark, sf_dir, "documents").repartition(64).withColumn(
-        "text", F.translate("text", " ", "\n")
-    )
+    from .curation import input_partitions
+
+    docs = _read(spark, sf_dir, "documents").repartition(
+        input_partitions(spark)
+    ).withColumn("text", F.translate("text", " ", "\n"))
     return corpus_ops.repetition_stats(docs)
 
 
@@ -1664,7 +1666,11 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench = docs.filter(F.col("source") == "src0")
     # repartition the corpus side only (single-file local layout, see
     # q_repetition_stats); the benchmark side stays tiny and broadcasts
-    corpus = docs.filter(F.col("source") != "src0").repartition(64)
+    from .curation import input_partitions
+
+    corpus = docs.filter(F.col("source") != "src0").repartition(
+        input_partitions(spark)
+    )
     return corpus_ops.contamination_report(corpus, bench, n=6)
 
 
