@@ -532,48 +532,52 @@ def minhash_lsh_pairs(
 def simhash_signatures(
     df: DataFrame, id_col: str, text_col: str, token_re: str = "[^a-z0-9]+"
 ) -> DataFrame:
-    """(id, simhash:bigint) — 64-bit SimHash over crc32-derived token hashes
-    (two crc32 salts → 64 deterministic bits), tf-weighted."""
-    out_schema = T.StructType(
-        [
-            T.StructField("doc_id", df.schema[id_col].dataType, False),
-            T.StructField("simhash", T.LongType(), False),
-        ]
+    """(id, simhash:bigint) — 64-bit SimHash over md5-derived token hashes,
+    tf-weighted, computed ENTIRELY JVM-side: explode tokens, take the first
+    16 hex chars of md5(token) as two 32-bit halves, accumulate 64 per-bit
+    ±1 sums in one map-side-combinable groupBy, reassemble the sign bits
+    into a signed 64-bit value.  No Arrow pass (the former mapInPandas
+    version shipped every text through Python); md5 is available verbatim
+    in DuckDB, so the operator carries a full value-level oracle.
+
+    Zero-token docs keep signature 0 (the explode drops them; a left join
+    against the distinct ids restores them) — so exact-empty docs still
+    pair with each other at hamming 0."""
+    ids = df.select(F.col(id_col).alias("doc_id")).distinct()
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), token_re), lambda t: t != ""
+            )
+        ).alias("tok"),
+    ).select(
+        "doc_id",
+        F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long").alias("hi"),
+        F.conv(F.substring(F.md5("tok"), 9, 8), 16, 10).cast("long").alias("lo"),
     )
-    import re
 
-    tok_re = re.compile(token_re)
+    def bit(i: int):
+        src = F.col("lo") if i < 32 else F.col("hi")
+        return F.shiftright(src, i % 32).bitwiseAND(F.lit(1))
 
-    def h64(tok: str) -> int:
-        lo = zlib.crc32(tok.encode("utf-8"))
-        hi = zlib.crc32(tok.encode("utf-8"), 0x9E3779B9)
-        return (hi << 32) | lo
-
-    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            out = []
-            for text in pdf[text_col]:
-                toks = [t for t in tok_re.split(text.lower())] if isinstance(text, str) else []
-                toks = [t for t in toks if t]
-                if not toks:
-                    out.append(0)
-                    continue
-                acc = np.zeros(64, dtype=np.int64)
-                shifts = np.arange(64, dtype=np.uint64)
-                for t in toks:
-                    bits = ((np.uint64(h64(t)) >> shifts) & np.uint64(1)).astype(np.int64)
-                    acc += 2 * bits - 1
-                sh = int((acc > 0).astype(np.uint64) @ (np.uint64(1) << np.arange(64, dtype=np.uint64)))
-                out.append(sh - (1 << 64) if sh >= (1 << 63) else sh)
-            yield pd.DataFrame({"doc_id": pdf[id_col], "simhash": out})
-
-    src = df.select(id_col, text_col)
-    # same rebalance discipline as minhash_signatures: cluster-wide
-    # parallelism for the per-doc Arrow hash pass
-    p = df.sparkSession.sparkContext.defaultParallelism
-    if src.rdd.getNumPartitions() < p:
-        src = src.repartition(p)
-    return src.mapInPandas(compute, schema=out_schema)
+    acc = toks.groupBy("doc_id").agg(
+        *[F.sum(bit(i) * 2 - F.lit(1)).alias(f"a{i}") for i in range(64)]
+    )
+    terms = [
+        F.when(F.col(f"a{i}") > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
+        for i in range(63)
+    ] + [
+        F.when(F.col("a63") > 0, F.lit(-(1 << 63)).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    ]
+    sig = acc.select(
+        "doc_id", sum(terms[1:], terms[0]).alias("simhash")
+    )
+    return ids.join(sig, "doc_id", "left").select(
+        "doc_id", F.coalesce("simhash", F.lit(0).cast("long")).alias("simhash")
+    )
 
 
 def simhash_pairs(
@@ -581,10 +585,14 @@ def simhash_pairs(
     id_col: str,
     text_col: str,
     max_hamming: int = 3,
+    pins: "PinScope | None" = None,
 ) -> DataFrame:
     """Near-dup pairs with Hamming(simhash) <= max_hamming, blocked on four
-    16-bit bands (pigeonhole: any pair within distance 3 shares >= 1 band)."""
-    sigs = simhash_signatures(df, id_col, text_col).cache()
+    16-bit bands.  Pigeonhole: any pair within distance 3 differs in at
+    most 3 of the 4 bands, so it SHARES at least one — recall is exactly 1
+    for max_hamming <= 3 (pinned against a brute-force all-pairs oracle in
+    tests/test_dedup_similarity.py); above 3 the blocking is approximate."""
+    sigs = _pin(simhash_signatures(df, id_col, text_col), pins)
     banded = sigs.select(
         "doc_id",
         "simhash",

@@ -1236,7 +1236,11 @@ WHERE ROUND(c0.c * 1.0 / (sa.sz + sb.sz - c0.c), 4) >= 0.8
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (rows-only) on the same dup-injected corpus."""
+    """SimHash near-dup pairs on the dup-injected corpus.  At
+    max_hamming=3 the 4x16-bit band blocking is pigeonhole-EXHAUSTIVE
+    (any pair within distance 3 shares a band), and the md5-derived
+    signature bits are reproducible in DuckDB — so this carries a full
+    brute-force all-pairs oracle, not a rows-only check."""
     from ..operators import dedup
 
     docs = _read(spark, sf_dir, "documents")
@@ -1248,6 +1252,51 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_chars",
     )
     return dedup.simhash_pairs(docs.unionByName(dups), "doc_id", "text", max_hamming=3)
+
+
+# 64 per-bit ±1 sums + signed-bit reassembly, generated once (hi/lo are the
+# two md5-derived 32-bit halves; bit 63 is the sign bit of the BIGINT)
+_SIMHASH_ACCS = ",\n         ".join(
+    f"SUM(CASE WHEN (({'lo' if i < 32 else 'hi'} >> {i % 32}) & 1) = 1 THEN 1 ELSE -1 END) AS a{i}"
+    for i in range(64)
+)
+_SIMHASH_VAL = "\n       + ".join(
+    [f"(CASE WHEN a{i} > 0 THEN CAST({1 << i} AS BIGINT) ELSE 0 END)" for i in range(63)]
+    + ["(CASE WHEN a63 > 0 THEN (-9223372036854775807 - 1) ELSE 0 END)"]
+)
+
+SQL_DEDUP_SIMHASH = f"""
+WITH docs_u AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text || ' x' AS text
+  FROM documents WHERE doc_id % 37 = 0
+),
+toks0 AS (
+  SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS tok
+  FROM docs_u
+),
+t AS (
+  SELECT doc_id,
+         CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT) AS hi,
+         CAST(concat('0x', substr(md5(tok), 9, 8)) AS BIGINT) AS lo
+  FROM toks0 WHERE tok <> ''
+),
+acc AS (
+  SELECT doc_id,
+         {_SIMHASH_ACCS}
+  FROM t GROUP BY doc_id
+),
+sig0 AS (SELECT doc_id, {_SIMHASH_VAL} AS simhash FROM acc),
+sig AS (
+  SELECT d.doc_id, COALESCE(s.simhash, 0) AS simhash
+  FROM (SELECT DISTINCT doc_id FROM docs_u) d LEFT JOIN sig0 s USING (doc_id)
+)
+SELECT a.doc_id, b.doc_id AS dup_id,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
 
 
 def q_dedup_reference_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2176,6 +2225,7 @@ ORACLES: dict[str, str] = {
     "bow_tfidf": SQL_BOW_TFIDF,
     "dedup_ngram_jaccard": SQL_DEDUP_NGRAM_JACCARD,
     "dedup_minhash": SQL_DEDUP_MINHASH,
+    "dedup_simhash": SQL_DEDUP_SIMHASH,
     "embedding_neardup": SQL_EMBEDDING_NEARDUP,
     "ann_ivf_fullprobe": SQL_KNN_COSINE,  # full probe ≡ exact brute force
     "ann_lsh_exhaustive": SQL_KNN_COSINE,  # single bucket ≡ exact brute force
@@ -2193,10 +2243,10 @@ ORACLES: dict[str, str] = {
     "cluster_split": SQL_CLUSTER_SPLIT,
     "lm_score": SQL_LM_SCORE,
     "cap_per_group": SQL_CAP_PER_GROUP,
-    # rows-only (Arrow-UDF tokenizers / banded-LSH internals / crc32 /
-    # iterative component loops not expressible in ANSI SQL; allclose- or
+    # rows-only (Arrow-UDF tokenizers / banded-LSH internals / iterative
+    # component loops not expressible in ANSI SQL; allclose- or
     # recall-tested in pytest, and every curation_pipeline stage is
     # individually oracled): rant_stats_features, vectorize_type_ngrams,
-    # vectorize_pos_tfidf, dedup_simhash, ann_lsh, ann_ivf, fingerprint,
+    # vectorize_pos_tfidf, ann_lsh, ann_ivf, fingerprint,
     # curation_pipeline
 }

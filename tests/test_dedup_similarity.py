@@ -103,6 +103,42 @@ class TestDedup:
         # near-dup (one word changed) should be within 6 bits
         assert (0, 1) in pairs or (0, 3) in pairs
 
+    def test_simhash_pigeonhole_exact_vs_brute_force(self, spark):
+        # 4 bands x 16 bits: any pair at hamming <= 3 differs in at most 3
+        # bands, so it SHARES one — the blocked output must EXACTLY equal
+        # the unblocked all-pairs join at max_hamming=3 (the sibling-gate
+        # pattern: recall 1.0 by construction, not by luck)
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        dups = docs.selectExpr(
+            "doc_id + 1000000 AS doc_id", "concat(text, ' x') AS text"
+        ).filter(F.col("doc_id") % 5 == 0)
+        corpus = docs.select("doc_id", "text").unionByName(dups)
+
+        blocked = dedup.simhash_pairs(corpus, "doc_id", "text", max_hamming=3)
+        sigs = dedup.simhash_signatures(corpus, "doc_id", "text")
+        a, b = sigs.alias("a"), sigs.alias("b")
+        brute = (
+            a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(
+                F.col("a.doc_id").alias("doc_id"),
+                F.col("b.doc_id").alias("dup_id"),
+                F.bit_count(
+                    F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+                ).cast("int").alias("hamming"),
+            )
+            .filter(F.col("hamming") <= 3)
+        )
+        got = {tuple(r) for r in blocked.collect()}
+        want = {tuple(r) for r in brute.collect()}
+        assert got == want and len(want) > 0
+
+    def test_simhash_zero_token_docs_pair_at_zero(self, spark):
+        pdf = pd.DataFrame({"doc_id": [1, 2, 3], "text": ["", "!!!", "real text here"]})
+        out = dedup.simhash_pairs(
+            spark.createDataFrame(pdf), "doc_id", "text", max_hamming=0
+        ).toPandas()
+        assert set(zip(out.doc_id, out.dup_id)) == {(1, 2)}
+
 
 class TestSimilarity:
     @pytest.fixture(scope="class")
