@@ -102,6 +102,9 @@ CONSUME: dict[str, list[str]] = {
         "count(*) AS n", "sum(n_tokens) AS a",  # tokenize + broadcast model join
         "sum(avg_logprob) AS b",                # smoothed logprob aggregation
     ],
+    "fingerprint": [
+        "count(*) AS n", "sum(fingerprint) AS a",  # k-gram md5 winnow (pure JVM)
+    ],
 }
 
 BENCH_QUERIES = list(CONSUME)

@@ -1,13 +1,12 @@
 """Text-analysis functions for training-data pipelines: language ID,
 quality scoring, token counting, document fingerprinting.
 
-Pure column expressions where possible (JVM, codegen); Arrow UDFs only for
-the n-gram language model and rolling hash.  All deterministic/seedless.
+Pure column expressions where possible (JVM, codegen); the one remaining
+Arrow UDF is the language-ID heuristic.  All deterministic/seedless.
 """
 
 from __future__ import annotations
 
-import zlib
 from collections.abc import Iterator
 from typing import NamedTuple
 
@@ -244,30 +243,64 @@ def with_unigram_logprob(
 
 
 # ---------------------------------------------------------------------------
-# document fingerprinting — winnowed rolling hash (deterministic)
+# document fingerprinting — winnowed k-gram hash (deterministic, JVM-side)
 # ---------------------------------------------------------------------------
 
 
 def _fingerprint(text: str, k: int = 7, window: int = 4) -> int:
-    """Winnowing-style fingerprint: crc32 over each k-gram, keep the min per
-    sliding window, combine with xor-rotate → one stable 32-bit id."""
-    if not isinstance(text, str) or len(text) < k:
-        return zlib.crc32((text or "").encode("utf-8"))
-    hashes = [zlib.crc32(text[i : i + k].encode("utf-8")) for i in range(len(text) - k + 1)]
-    mins = []
-    for i in range(max(len(hashes) - window + 1, 1)):
-        mins.append(min(hashes[i : i + window]))
+    """Pure-Python reference twin of :func:`with_fingerprint` (parity-fuzzed
+    in tests): md5-derived 32-bit hash per character k-gram, min per
+    sliding window (the winnowing selection — Schleimer et al. 2003), xor
+    over the DISTINCT selected minima.  The distinct-xor combine is
+    order-insensitive, which is what lets the Spark/DuckDB versions build
+    it from array primitives instead of a sequential fold."""
+    import hashlib
+
+    t = text if isinstance(text, str) else ""
+    n = max(len(t) - k + 1, 1)
+    hashes = [
+        int(hashlib.md5(t[i : i + k].encode("utf-8")).hexdigest()[:8], 16)
+        for i in range(n)
+    ]
+    m = max(len(hashes) - window + 1, 1)
+    mins = {min(hashes[j : j + window]) for j in range(m)}
     fp = 0
-    for m in mins:
-        fp = ((fp << 5) | (fp >> 27)) & 0xFFFFFFFF
-        fp ^= m
+    for v in mins:
+        fp ^= v
     return fp
 
 
-@F.pandas_udf(T.LongType())
-def fingerprint_udf(s: pd.Series) -> pd.Series:
-    return s.map(lambda t: _fingerprint(t)).astype("int64")
-
-
-def with_fingerprint(df: DataFrame, text_col: str = "text", out: str = "fingerprint") -> DataFrame:
-    return df.withColumn(out, fingerprint_udf(F.col(text_col)))
+def with_fingerprint(
+    df: DataFrame,
+    text_col: str = "text",
+    out: str = "fingerprint",
+    k: int = 7,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowed document fingerprint, entirely in built-in expressions (no
+    Python in the hot path): each position's k-gram is md5-hashed to 32
+    bits, a sliding window keeps the per-window minimum, and the distinct
+    minima xor-fold into one stable 64-bit id.  O(n·window) JVM work per
+    doc; every primitive (substr, md5, least-of-slice, xor fold) exists
+    verbatim in DuckDB, so the operator carries a full value oracle."""
+    n_grams = F.greatest(F.length(text_col) - (k - 1), F.lit(1))
+    hashes = F.transform(
+        F.sequence(F.lit(1), n_grams),
+        lambda i: F.conv(
+            F.substring(F.md5(F.substring(F.col(text_col), i, k)), 1, 8), 16, 10
+        ).cast("long"),
+    )
+    # project the hash array to a NAMED column before the windowed slice —
+    # HOF lambda bodies get no subexpression elimination (project rules)
+    with_h = df.withColumn("_fp_hashes", hashes)
+    n_windows = F.greatest(F.size("_fp_hashes") - (window - 1), F.lit(1))
+    minima = F.transform(
+        F.sequence(F.lit(1), n_windows),
+        lambda j: F.array_min(F.slice(F.col("_fp_hashes"), j, window)),
+    )
+    fp = F.aggregate(
+        F.array_distinct(minima),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc.bitwiseXOR(x),
+    )
+    return with_h.withColumn(out, fp).drop("_fp_hashes")

@@ -47,9 +47,15 @@ class PinScope:
     def release(self, blocking: bool = False) -> None:
         """Unpersist every registered frame (LIFO — downstream pins first,
         so an upstream frame is never momentarily recomputed to serve a
-        still-cached dependent)."""
+        still-cached dependent).  Best-effort per frame: release runs in
+        error paths too (scope exit after a failed action, possibly against
+        a dead JVM), and a raised unpersist there would MASK the original
+        failure."""
         while self._frames:
-            self._frames.pop().unpersist(blocking)
+            try:
+                self._frames.pop().unpersist(blocking)
+            except Exception:
+                pass
 
     def __enter__(self) -> "PinScope":
         return self

@@ -1459,11 +1459,42 @@ FROM scored
 
 
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Winnowed rolling-hash document fingerprints (rows-only, deterministic)."""
+    """Winnowed document fingerprints (functions/textanalysis
+    .with_fingerprint): md5-based k-gram hashes, sliding-window minima,
+    distinct-xor combine — all built-in expressions, with a full DuckDB
+    value oracle (list_transform/list_slice/list_reduce mirror)."""
     from ..functions import textanalysis
+    from .curation import input_partitions
 
-    docs = _read(spark, sf_dir, "documents")
+    # single-file sf layout: rebalance or the whole O(n_chars·window)
+    # hash pass runs as one task (BENCH/BASELINE.md round 3)
+    docs = _read(spark, sf_dir, "documents").repartition(input_partitions(spark))
     return textanalysis.with_fingerprint(docs).select("doc_id", "fingerprint")
+
+
+SQL_FINGERPRINT = """
+WITH h AS (
+  SELECT doc_id,
+         list_transform(
+           range(1, greatest(length(text) - 6, 1) + 1),
+           i -> CAST(concat('0x', substr(md5(substr(text, CAST(i AS INTEGER), 7)), 1, 8)) AS BIGINT)
+         ) AS hashes
+  FROM documents
+),
+m AS (
+  SELECT doc_id,
+         list_distinct(
+           list_transform(
+             range(1, greatest(len(hashes) - 3, 1) + 1),
+             j -> list_min(list_slice(hashes, CAST(j AS INTEGER), CAST(j + 3 AS INTEGER)))
+           )
+         ) AS minima
+  FROM h
+)
+SELECT doc_id,
+       CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), minima), (a, b) -> xor(a, b)) AS BIGINT) AS fingerprint
+FROM m
+"""
 
 
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2230,6 +2261,7 @@ ORACLES: dict[str, str] = {
     "ann_ivf_fullprobe": SQL_KNN_COSINE,  # full probe ≡ exact brute force
     "ann_lsh_exhaustive": SQL_KNN_COSINE,  # single bucket ≡ exact brute force
     "langid": SQL_LANGID,
+    "fingerprint": SQL_FINGERPRINT,
     "dedup_reference_chain": SQL_DEDUP_REFERENCE_CHAIN,
     "smote": SQL_SMOTE,
     "hashing_vectorize": SQL_HASHING_VECTORIZE,
@@ -2247,6 +2279,5 @@ ORACLES: dict[str, str] = {
     # component loops not expressible in ANSI SQL; allclose- or
     # recall-tested in pytest, and every curation_pipeline stage is
     # individually oracled): rant_stats_features, vectorize_type_ngrams,
-    # vectorize_pos_tfidf, ann_lsh, ann_ivf, fingerprint,
-    # curation_pipeline
+    # vectorize_pos_tfidf, ann_lsh, ann_ivf, curation_pipeline
 }

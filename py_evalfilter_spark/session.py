@@ -43,6 +43,11 @@ def get_spark(
         .config("spark.speculation", "true")
         .config("spark.speculation.multiplier", "4")
         .config("spark.speculation.quantile", "0.9")
+        # long-lived sessions running staged pipelines accumulate dead
+        # shuffle files until a driver GC lets the ContextCleaner reclaim
+        # them (default nudge: 30 min) — at 10M-doc scale that's tens of GB
+        # of zombie disk between stages; tighten the nudge
+        .config("spark.cleaner.periodicGC.interval", "2min")
     )
     exec_mem = os.environ.get("SPARK_GRAFT_EXECUTOR_MEMORY")
     if exec_mem:

@@ -34,7 +34,7 @@ class TestPinScope:
             )
             pairs.count()
             assert pins.count == 2  # sigs + banded
-            assert _cached_rdd_count(spark) > base
+            assert _cached_rdd_count(spark) >= pins.count
         assert pins.count == 0
         # blocking unpersist happened via scope exit; storage back to baseline
         assert _cached_rdd_count(spark) <= base
@@ -47,7 +47,10 @@ class TestPinScope:
         n = out.count()
         assert n > 0
         assert pins.count >= 4  # quality, scrubbed, exact_dedup, near_dedup, sigs, banded
-        assert _cached_rdd_count(spark) > base
+        # compare against the pins' own footprint, not a global before/after
+        # delta: the 2-min periodic driver GC (session.py) can reclaim
+        # OTHER tests' stale cached RDDs mid-run, so `> base` is racy
+        assert _cached_rdd_count(spark) >= pins.count
         pins.release(blocking=True)
         assert _cached_rdd_count(spark) <= base
 
@@ -58,7 +61,7 @@ class TestPinScope:
         with pytest.raises(RuntimeError):
             with PinScope() as pins:
                 pins.pin(docs).count()
-                assert _cached_rdd_count(spark) > base
+                assert _cached_rdd_count(spark) >= 1
                 raise RuntimeError("boom")
         assert _cached_rdd_count(spark) <= base
 

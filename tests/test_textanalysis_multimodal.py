@@ -81,6 +81,27 @@ class TestFingerprint:
         out2 = {r["id"]: r["fingerprint"] for r in textanalysis.with_fingerprint(df).collect()}
         assert out == out2
 
+    def test_jvm_matches_python_reference(self, spark):
+        # the JVM expression pipeline (md5 k-grams -> window minima ->
+        # distinct-xor) must equal the readable pure-Python twin, including
+        # the short-text (< k, < window) and empty edges
+        texts = [
+            "", "a", "abcdef", "abcdefg", "abcdefgh",
+            "the quick brown fox jumps over the lazy dog",
+            "aaaaaaaaaaaaaaaaaaaaaa",  # degenerate: all k-grams equal
+            "punctuation?! and   spaces",
+            "ünïcödé tëxt with àccents",
+        ]
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], ["id", "text"]
+        )
+        got = {
+            r["id"]: r["fingerprint"]
+            for r in textanalysis.with_fingerprint(df).collect()
+        }
+        for i, t in enumerate(texts):
+            assert got[i] == textanalysis._fingerprint(t), (i, t)
+
 
 class TestMultimodal:
     def test_schema_and_features(self, spark):
