@@ -105,6 +105,10 @@ CONSUME: dict[str, list[str]] = {
     "fingerprint": [
         "count(*) AS n", "sum(fingerprint) AS a",  # k-gram md5 winnow (pure JVM)
     ],
+    "dsir_weights": [
+        "count(*) AS n", "sum(n_grams) AS a",   # two hashed-ngram model fits
+        "sum(dsir_logw) AS b",                  # broadcast ratio join + agg
+    ],
 }
 
 BENCH_QUERIES = list(CONSUME)

@@ -2105,6 +2105,79 @@ FROM scored GROUP BY doc_id
 """
 
 
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (functions/dsir.py — Xie et al. 2023):
+    hashed {1,2}-gram bag models over target (source='src0') vs the raw
+    rest, per-doc log importance weight Σ log(p_t/p_r) over md5 buckets.
+    The B=1000-row ratio model is bounded by construction, so its
+    broadcast is safe at any corpus size."""
+    from ..functions import dsir
+    from .curation import input_partitions
+
+    # single-file sf layout: rebalance or both fit explodes and the
+    # scoring explode run single-task (BENCH/BASELINE.md round 3)
+    docs = _read(spark, sf_dir, "documents").repartition(input_partitions(spark))
+    target = docs.filter(F.col("source") == "src0")
+    raw = docs.filter(F.col("source") != "src0")
+    model, default = dsir.dsir_log_ratio_model(target, raw, buckets=1000)
+    return dsir.with_dsir_weight(
+        raw, model, default, buckets=1000
+    ).select("doc_id", "n_grams", "dsir_logw")
+
+
+SQL_DSIR_WEIGHTS = f"""
+WITH w0 AS (
+  SELECT doc_id, source,
+         list_filter(string_split_regex(lower(text), '{WORD_RE}'), x -> x <> '') AS words
+  FROM documents
+),
+g AS (
+  SELECT doc_id, source,
+         unnest(
+           words || list_transform(
+             range(1, greatest(len(words) - 1, 0) + 1),
+             i -> array_to_string(list_slice(words, CAST(i AS INTEGER), CAST(i + 1 AS INTEGER)), ' ')
+           )
+         ) AS gram
+  FROM w0
+),
+b AS (
+  SELECT doc_id, source,
+         CAST(concat('0x', substr(md5(gram), 1, 8)) AS BIGINT) % 1000 AS bucket
+  FROM g
+),
+tc AS (SELECT bucket, COUNT(*) AS tc FROM b WHERE source = 'src0' GROUP BY bucket),
+rc AS (SELECT bucket, COUNT(*) AS rc FROM b WHERE source <> 'src0' GROUP BY bucket),
+tot AS (
+  SELECT (SELECT CAST(COALESCE(SUM(tc), 0) AS DOUBLE) FROM tc) AS n_t,
+         (SELECT CAST(COALESCE(SUM(rc), 0) AS DOUBLE) FROM rc) AS n_r
+),
+model AS (
+  SELECT COALESCE(tc.bucket, rc.bucket) AS bucket,
+         ln((COALESCE(tc, 0) + 1.0) / (n_t + 1000.0))
+         - ln((COALESCE(rc, 0) + 1.0) / (n_r + 1000.0)) AS log_ratio
+  FROM tc FULL JOIN rc ON tc.bucket = rc.bucket, tot
+),
+scored AS (
+  SELECT b.doc_id,
+         COALESCE(m.log_ratio,
+                  (SELECT ln(1.0 / (n_t + 1000.0)) - ln(1.0 / (n_r + 1000.0)) FROM tot)
+         ) AS lr
+  FROM b JOIN (SELECT DISTINCT doc_id FROM documents WHERE source <> 'src0') r USING (doc_id)
+         LEFT JOIN model m USING (bucket)
+  WHERE b.source <> 'src0'
+),
+agg AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams, ROUND(SUM(lr), 4) AS dsir_logw
+  FROM scored GROUP BY doc_id
+)
+SELECT d.doc_id, COALESCE(a.n_grams, 0) AS n_grams,
+       COALESCE(a.dsir_logw, 0.0) AS dsir_logw
+FROM (SELECT doc_id FROM documents WHERE source <> 'src0') d
+LEFT JOIN agg a USING (doc_id)
+"""
+
+
 def q_cap_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source doc cap (operators/corpus.py): keep ≤15 docs per source
     by deterministic md5-uniform shuffle — per-source kept counts + id
@@ -2216,6 +2289,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cluster_split": q_cluster_split,
     "lm_score": q_lm_score,
     "cap_per_group": q_cap_per_group,
+    "dsir_weights": q_dsir_weights,
 }
 
 ORACLES: dict[str, str] = {
@@ -2275,6 +2349,7 @@ ORACLES: dict[str, str] = {
     "cluster_split": SQL_CLUSTER_SPLIT,
     "lm_score": SQL_LM_SCORE,
     "cap_per_group": SQL_CAP_PER_GROUP,
+    "dsir_weights": SQL_DSIR_WEIGHTS,
     # rows-only (Arrow-UDF tokenizers / banded-LSH internals / iterative
     # component loops not expressible in ANSI SQL; allclose- or
     # recall-tested in pytest, and every curation_pipeline stage is

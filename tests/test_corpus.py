@@ -538,3 +538,61 @@ class TestCapPerGroup:
         )
         out = corpus_ops.cap_per_group(docs, max_per_group=5)
         assert out.count() == 3
+
+
+class TestDsir:
+    def _fit(self, spark):
+        from py_evalfilter_spark.functions import dsir
+
+        target = spark.createDataFrame(
+            [(i, "the quick brown fox jumps over the lazy dog") for i in range(4)],
+            "doc_id long, text string",
+        )
+        raw = spark.createDataFrame(
+            [
+                (10, "the quick brown fox jumps high"),   # target-like
+                (11, "stock market prices fell sharply today"),  # off-target
+                (12, ""),                                  # zero-gram
+            ],
+            "doc_id long, text string",
+        )
+        model, default = dsir.dsir_log_ratio_model(target, raw, buckets=512)
+        return dsir, target, raw, model, default
+
+    def test_weight_orders_target_likeness(self, spark):
+        dsir, target, raw, model, default = self._fit(spark)
+        out = {
+            r["doc_id"]: (r["n_grams"], r["dsir_logw"])
+            for r in dsir.with_dsir_weight(raw, model, default, buckets=512).collect()
+        }
+        assert out[10][1] > out[11][1]  # target-like beats off-target
+        assert out[12] == (0, 0.0)      # zero-gram doc: no evidence
+
+    def test_ngram_extraction_shapes(self, spark):
+        # the HOF closure trap (PySpark treats `lambda i, n=n` as a
+        # (value, index) lambda) produced growing slices — pin the exact
+        # {1,2}-gram multiset
+        from py_evalfilter_spark.functions import dsir
+
+        df = spark.createDataFrame([(1, "a b c"), (2, "solo"), (3, "")],
+                                   "doc_id long, text string")
+        g = dsir._hashed_ngram_buckets(df, "text", 2, 1 << 30)
+        per_doc = {
+            r["doc_id"]: r["n"]
+            for r in g.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        assert per_doc == {1: 5, 2: 1}  # a,b,c,"a b","b c"; solo; empty absent
+
+    def test_resample_deterministic_and_weight_proportional(self, spark):
+        from py_evalfilter_spark.functions import dsir
+
+        rows = [(i, float(10.0 if i == 0 else -10.0)) for i in range(40)]
+        df = spark.createDataFrame(rows, "doc_id long, dsir_logw double")
+        a = sorted(r["doc_id"] for r in dsir.dsir_resample(df, k=5, seed=7).collect())
+        b = sorted(r["doc_id"] for r in dsir.dsir_resample(df, k=5, seed=7).collect())
+        assert a == b and len(a) == 5
+        # a 20-nat log-weight gap dominates any Gumbel draw in practice:
+        # doc 0 must always be selected
+        assert 0 in a
+        c = sorted(r["doc_id"] for r in dsir.dsir_resample(df, k=5, seed=8).collect())
+        assert 0 in c and a != c  # noise reshuffles the low-weight picks
