@@ -402,11 +402,38 @@ def minhash_signatures(
     # the Arrow pass must not inherit a coalesced upstream distribution
     # (e.g. an AQE-shrunk join output): give the per-doc crc32+minhash
     # compute cluster-wide parallelism (same discipline as the fuzzy-window
-    # rebalance, BENCH/BASELINE.md round 3)
-    p = df.sparkSession.sparkContext.defaultParallelism
-    if src.rdd.getNumPartitions() < p:
-        src = src.repartition(p)
+    # rebalance, BENCH/BASELINE.md round 3).  Streaming frames have no
+    # .rdd; their parallelism comes from the source, so skip the probe.
+    if not df.isStreaming:
+        p = df.sparkSession.sparkContext.defaultParallelism
+        if src.rdd.getNumPartitions() < p:
+            src = src.repartition(p)
     return src.mapInPandas(compute, schema=out_schema)
+
+
+def band_buckets(
+    sigs: DataFrame, bands: int, r: int, keep_signature: bool = False
+) -> DataFrame:
+    """Explode a (doc_id, signature) frame into (doc_id, band, bucket) —
+    bucket = xxhash64 of the band's r-row signature slice, salted by the
+    band index so identical slices in different bands never collide.
+    Shared by the batch LSH self-join and the streaming stateful dedup
+    (which also carries the full signature into the bucket state)."""
+    cols = ["doc_id", "signature"] if keep_signature else ["doc_id"]
+    out = sigs.select(
+        *cols,
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda bi: F.slice(F.col("signature"), bi * r + 1, r),
+            )
+        ).alias("band", "band_sig"),
+    )
+    return out.select(
+        *cols,
+        "band",
+        F.xxhash64(F.col("band_sig").cast("string"), F.col("band")).alias("bucket"),
+    )
 
 
 def minhash_lsh_pairs(
@@ -443,15 +470,7 @@ def minhash_lsh_pairs(
     sigs = _pin(
         minhash_signatures(df, id_col, text_col, n, num_perm, seed, unit=unit), pins
     )
-    banded = sigs.select(
-        "doc_id",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda bi: F.slice(F.col("signature"), bi * r + 1, r),
-            )
-        ).alias("band", "band_sig"),
-    ).select("doc_id", "band", F.xxhash64(F.col("band_sig").cast("string"), F.col("band")).alias("bucket"))
+    banded = band_buckets(sigs, bands, r)
     # persist: the bucket self-join reads `banded` on BOTH sides, and
     # broadcast/shuffle sides don't share an Exchange — without pinning,
     # the signature Arrow pass runs twice (measured 2x the pair cost at

@@ -296,3 +296,56 @@ class TestStatefulConvState:
         # updates in both micro-batches
         multi = got_all.groupby("conv_id").size()
         assert (multi >= 2).any(), "no conversation spanned two micro-batches"
+
+
+class TestStreamingNearDup:
+    def test_minhash_candidates_across_micro_batches(self, spark, tmp_path):
+        """Streaming MinHash LSH (applyInPandasWithState keyed by
+        (band, bucket)): near-dup docs arriving in DIFFERENT micro-batches
+        must still pair — the bucket state carries earlier signatures.
+        The emitted candidate set must cover the batch operator's verified
+        pairs on the same corpus (same n/num_perm/bands/seed/unit)."""
+        from pyspark.sql import functions as F
+
+        from py_evalfilter_spark.operators import dedup
+        from py_evalfilter_spark.streaming import neardup, sessions
+
+        texts = {
+            1: "the quick brown fox jumps over the lazy dog tonight",
+            2: "the quick brown fox jumps over the lazy dog tonight",   # exact dup of 1
+            3: "the quick brown fox jumps over the lazy cat tonight",   # near dup of 1/2
+            4: "partition pruning and predicate pushdown in parquet scans everywhere",
+            5: "partition pruning and predicate pushdown in parquet scans everywhere",  # exact dup of 4
+            6: "a completely different document about cooking pasta recipes",
+            7: "structured streaming state stores and watermarks explained",
+        }
+        pdf = pd.DataFrame({"doc_id": list(texts), "text": list(texts.values())})
+        sdf = spark.createDataFrame(pdf)
+        src = str(tmp_path / "neardup_docs")
+        # dup pairs STRADDLE the two files: 1|2, 4|5 in different batches
+        sdf.filter(F.col("doc_id").isin(1, 3, 4, 6)).coalesce(1).write.parquet(f"{src}/f=1")
+        sdf.filter(F.col("doc_id").isin(2, 5, 7)).coalesce(1).write.parquet(f"{src}/f=2")
+
+        stream = (
+            spark.readStream.schema(sdf.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/f=*")
+        )
+        sessions.run_stream_once(
+            stream,
+            lambda s: neardup.streaming_minhash_candidates(s, unit="word"),
+            "stream_neardup",
+        )
+        got = spark.sql("SELECT * FROM stream_neardup").toPandas()
+        # per-band multiplicity is documented; dedup to pairs, keep max est
+        cands = got.groupby(["doc_id", "dup_id"])["est"].max().to_dict()
+
+        # cross-micro-batch exact dups found with estimate 1.0
+        assert cands.get((1, 2)) == 1.0
+        assert cands.get((4, 5)) == 1.0
+        # batch verified pairs are covered by the stream's candidate set
+        batch = dedup.minhash_lsh_pairs(sdf, "doc_id", "text", unit="word").toPandas()
+        for a, b in zip(batch.doc_id, batch.dup_id):
+            assert (a, b) in cands, (a, b)
+        # the unrelated doc never pairs
+        assert not any(6 in p for p in cands)
