@@ -109,6 +109,10 @@ CONSUME: dict[str, list[str]] = {
         "count(*) AS n", "sum(n_grams) AS a",   # two hashed-ngram model fits
         "sum(dsir_logw) AS b",                  # broadcast ratio join + agg
     ],
+    "semantic_cluster": [
+        "count(*) AS n", "sum(cluster) AS a",   # 2-iter Lloyd's fit + assign
+        "sum(dist2) AS b",
+    ],
 }
 
 BENCH_QUERIES = list(CONSUME)

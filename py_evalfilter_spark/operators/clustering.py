@@ -1,0 +1,155 @@
+"""Semantic clustering for curation (SemDeDup-family, Abbas et al. 2023 —
+public paper): deterministic fixed-iteration Lloyd's k-means over an
+embedding column, cluster assignment, and within-cluster cosine near-dup
+pairs.  The SemDeDup trick is the partitioner: near-dup search inside
+clusters is O(Σ|cluster|²) instead of O(n²), and clusters are also the
+unit for diversity-aware mixing/pruning.
+
+Engine shape — everything is DataFrame ops:
+  * init: the k rows with the smallest md5(id:seed) (the engine's standard
+    deterministic uniform shuffle) are the seed centroids.
+  * assign: cross join against the BROADCAST k-row centroid table, L2²
+    via zip_with/aggregate (JVM), argmin via min(struct(dist, cid)) — a
+    k×n row pass, never a k×dim expression tree (at dim 768 × k 32 an
+    inlined distance expression is ~25k plan nodes; the join form is
+    plan-size O(1)).
+  * update: posexplode the assigned vectors, per-(cid, dim) avg — one
+    map-side-combinable groupBy; the k×dim result collects to the driver
+    (bounded by contract, like the categorical-domain collects).
+  * Each iteration's centroids are ROUNDED (default 6 dp).  This is the
+    cross-engine determinism contract: double summation order differs
+    between Spark partitions and any oracle engine, so raw means drift in
+    the last ulps; rounding at every iteration re-synchronizes both sides
+    (same discipline as the bench hash conventions).  Empty clusters keep
+    their previous centroid.
+
+The fit is iterative (Lloyd's), but because iterations are FIXED and every
+step is relational, the whole fit unrolls into plain SQL — the
+`semantic_cluster` catalog query carries a full DuckDB oracle with one CTE
+chain per iteration, not a rows-only justification.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _dist2(vec_col: str, cvec_col: str):
+    return F.aggregate(
+        F.zip_with(F.col(vec_col), F.col(cvec_col), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _centroid_df(spark, centroids: list[list[float]]) -> DataFrame:
+    return spark.createDataFrame(
+        [(i, c) for i, c in enumerate(centroids)], "cid int, cvec array<double>"
+    )
+
+
+def _assign(d: DataFrame, centroids: list[list[float]], id_col: str) -> DataFrame:
+    """(id, vec, cluster, dist2) — nearest centroid by L2², ties to the
+    lowest cid (struct min compares dist first, then cid)."""
+    spark = d.sparkSession
+    cent = F.broadcast(_centroid_df(spark, centroids))
+    scored = d.crossJoin(cent).withColumn("_d2", F.round(_dist2("vec", "cvec"), 8))
+    best = scored.groupBy(id_col).agg(
+        F.min(F.struct(F.col("_d2"), F.col("cid"))).alias("_best")
+    )
+    return d.join(best, id_col).select(
+        id_col, "vec",
+        F.col("_best.cid").alias("cluster"),
+        F.col("_best._d2").alias("dist2"),
+    )
+
+
+def kmeans_fit(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 8,
+    iters: int = 3,
+    seed: int = 42,
+    round_decimals: int = 6,
+) -> list[list[float]]:
+    """Fixed-iteration deterministic Lloyd's; returns the k centroids
+    (k × dim floats — driver-bounded by contract)."""
+    d = df.select(
+        F.col(id_col).alias("_kid"),
+        F.transform(vec_col, lambda x: x.cast("double")).alias("vec"),
+    )
+    seeds = (
+        d.orderBy(
+            F.md5(F.concat_ws(":", F.col("_kid"), F.lit(seed))), F.col("_kid")
+        )
+        .limit(k)
+        .collect()
+    )
+    centroids = [[round(float(x), round_decimals) for x in r["vec"]] for r in seeds]
+    for _ in range(iters):
+        assigned = _assign(d, centroids, "_kid")
+        rows = (
+            assigned.select("cluster", F.posexplode("vec").alias("dim", "val"))
+            .groupBy("cluster", "dim")
+            .agg(F.avg("val").alias("m"))
+            .collect()
+        )
+        new: dict[int, dict[int, float]] = {}
+        for r in rows:
+            new.setdefault(r["cluster"], {})[r["dim"]] = round(
+                float(r["m"]), round_decimals
+            )
+        centroids = [
+            [new[c][i] for i in range(len(centroids[c]))] if c in new else centroids[c]
+            for c in range(k)
+        ]
+    return centroids
+
+
+def assign_clusters(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """df + (cluster, dist2) under fixed centroids."""
+    d = df.select(
+        F.col(id_col).alias("_kid"),
+        F.transform(vec_col, lambda x: x.cast("double")).alias("vec"),
+    )
+    out = _assign(d, centroids, "_kid").select(
+        F.col("_kid").alias(id_col), "cluster", F.round("dist2", 4).alias("dist2")
+    )
+    return df.join(out, id_col)
+
+
+def semdedup_pairs(
+    df: DataFrame,
+    centroids: list[list[float]],
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Within-cluster cosine ≥ threshold pairs (doc_id < dup_id) — the
+    SemDeDup candidate structure: clusters partition the O(n²) search.
+    Output feeds graph.dedup_keep_canonical like every other pair op."""
+    from .similarity import cosine_expr
+
+    assigned = assign_clusters(df, centroids, vec_col, id_col).select(
+        F.col(id_col).alias("doc_id"),
+        F.transform(vec_col, lambda x: x.cast("double")).alias("vec"),
+        "cluster",
+    )
+    l, r = assigned.alias("l"), assigned.alias("r")
+    return (
+        l.join(r, (F.col("l.cluster") == F.col("r.cluster")))
+        .filter(F.col("l.doc_id") < F.col("r.doc_id"))
+        .select(
+            F.col("l.doc_id").alias("doc_id"),
+            F.col("r.doc_id").alias("dup_id"),
+            F.round(cosine_expr(F.col("l.vec"), F.col("r.vec")), 4).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -2178,6 +2178,89 @@ LEFT JOIN agg a USING (doc_id)
 """
 
 
+def q_semantic_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic fixed-iteration k-means over the embeddings table
+    (operators/clustering.py — the SemDeDup partitioning step): md5-seeded
+    init, 2 Lloyd iterations with per-iteration centroid rounding, final
+    per-vector assignment.  The fit is iterative but every step is
+    relational, so the DuckDB oracle UNROLLS it — one CTE chain per
+    iteration — rather than settling for a rows-only check."""
+    from ..operators import clustering
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = clustering.kmeans_fit(emb, k=4, iters=2, seed=42)
+    return clustering.assign_clusters(emb, cents).select(
+        "vec_id", "cluster", "dist2"
+    )
+
+
+def _kmeans_oracle_sql(k: int, iters: int, dim: int, seed: int) -> str:
+    """Unrolled Lloyd's in DuckDB: c0 = md5-seeded init, then per iteration
+    (assign under c_i) -> (per-dim avg, rounded) -> c_{i+1}; output = the
+    final assignment.  Mirrors clustering.kmeans_fit exactly: d2 rounded to
+    8 before the argmin (ties to lowest cid), centroids rounded to 6, empty
+    clusters keep their previous centroid."""
+    d2 = (
+        "ROUND(list_sum(list_transform(range(1, {dim1}), "
+        "i -> (vec[CAST(i AS INTEGER)] - cvec[CAST(i AS INTEGER)]) "
+        "* (vec[CAST(i AS INTEGER)] - cvec[CAST(i AS INTEGER)]))), 8)"
+    ).format(dim1=dim + 1)
+    parts = [
+        "WITH v AS (",
+        "  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec",
+        "  FROM embeddings",
+        "),",
+        "c0 AS (",
+        "  SELECT ROW_NUMBER() OVER (ORDER BY md5(vec_id || ':{seed}'), vec_id) - 1 AS cid,".format(seed=seed),
+        "         list_transform(vec, x -> ROUND(x, 6)) AS cvec",
+        "  FROM v ORDER BY md5(vec_id || ':{seed}'), vec_id LIMIT {k}".format(seed=seed, k=k),
+        "),",
+    ]
+    for it in range(iters):
+        parts += [
+            f"s{it} AS (",
+            f"  SELECT v.vec_id, c.cid, {d2} AS d2",
+            f"  FROM v CROSS JOIN c{it} c",
+            "),",
+            f"a{it} AS (",
+            "  SELECT vec_id, cid, d2 FROM (",
+            "    SELECT vec_id, cid, d2,",
+            "           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn",
+            f"    FROM s{it})",
+            "  WHERE rn = 1",
+            "),",
+            f"u{it} AS (",
+            f"  SELECT a.cid, i.i AS dim, v.vec[CAST(i.i AS INTEGER)] AS val",
+            f"  FROM a{it} a JOIN v USING (vec_id)",
+            f"       CROSS JOIN (SELECT unnest(range(1, {dim + 1})) AS i) i",
+            "),",
+            f"m{it} AS (",
+            "  SELECT cid, list(ROUND(m, 6) ORDER BY dim) AS cv FROM (",
+            f"    SELECT cid, dim, AVG(val) AS m FROM u{it} GROUP BY cid, dim)",
+            "  GROUP BY cid",
+            "),",
+            f"c{it + 1} AS (",
+            f"  SELECT c.cid, COALESCE(m.cv, c.cvec) AS cvec",
+            f"  FROM c{it} c LEFT JOIN m{it} m USING (cid)",
+            "),",
+        ]
+    parts += [
+        "fin AS (",
+        f"  SELECT v.vec_id, c.cid, {d2} AS d2",
+        f"  FROM v CROSS JOIN c{iters} c",
+        ")",
+        "SELECT vec_id, CAST(cid AS INTEGER) AS cluster, ROUND(d2, 4) AS dist2 FROM (",
+        "  SELECT vec_id, cid, d2,",
+        "         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn",
+        "  FROM fin)",
+        "WHERE rn = 1",
+    ]
+    return "\n".join(parts)
+
+
+SQL_SEMANTIC_CLUSTER = _kmeans_oracle_sql(k=4, iters=2, dim=64, seed=42)
+
+
 def q_cap_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source doc cap (operators/corpus.py): keep ≤15 docs per source
     by deterministic md5-uniform shuffle — per-source kept counts + id
@@ -2290,6 +2373,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lm_score": q_lm_score,
     "cap_per_group": q_cap_per_group,
     "dsir_weights": q_dsir_weights,
+    "semantic_cluster": q_semantic_cluster,
 }
 
 ORACLES: dict[str, str] = {
@@ -2350,6 +2434,7 @@ ORACLES: dict[str, str] = {
     "lm_score": SQL_LM_SCORE,
     "cap_per_group": SQL_CAP_PER_GROUP,
     "dsir_weights": SQL_DSIR_WEIGHTS,
+    "semantic_cluster": SQL_SEMANTIC_CLUSTER,
     # rows-only (Arrow-UDF tokenizers / banded-LSH internals / iterative
     # component loops not expressible in ANSI SQL; allclose- or
     # recall-tested in pytest, and every curation_pipeline stage is

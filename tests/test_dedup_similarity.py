@@ -489,3 +489,73 @@ class TestMinhashWordUnit:
         assert sorted((r["doc_id"], tuple(r["signature"])) for r in s1) == sorted(
             (r["doc_id"], tuple(r["signature"])) for r in s2
         )
+
+
+class TestClustering:
+    def test_kmeans_matches_numpy_reference(self, spark):
+        """The Spark fit (md5 init, per-iteration rounding, empty-cluster
+        carry) must equal the same algorithm in numpy — exact to 1e-9,
+        because both sides round centroids each iteration."""
+        import hashlib
+
+        from py_evalfilter_spark.operators import clustering
+
+        emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+        got = clustering.kmeans_fit(emb, k=4, iters=3, seed=42)
+
+        pdf = emb.select("vec_id", "embedding").toPandas()
+        vecs = {
+            int(i): np.asarray(v, dtype=np.float64)
+            for i, v in zip(pdf.vec_id, pdf.embedding)
+        }
+        order = sorted(vecs, key=lambda i: (hashlib.md5(f"{i}:42".encode()).hexdigest(), i))
+        C = [np.round(vecs[i], 6) for i in order[:4]]
+        for _ in range(3):
+            groups = {c: [] for c in range(4)}
+            for i, v in vecs.items():
+                d2 = [round(float(((v - c) ** 2).sum()), 8) for c in C]
+                groups[min(range(4), key=lambda c: (d2[c], c))].append(v)
+            C = [
+                np.round(np.mean(g, axis=0), 6) if g else C[c]
+                for c, g in groups.items()
+            ]
+        assert all(np.allclose(a, b, atol=1e-9) for a, b in zip(got, C))
+
+    def test_kmeans_objective_decreases(self, spark):
+        from pyspark.sql import functions as F
+
+        from py_evalfilter_spark.operators import clustering
+
+        emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+        sse = []
+        for iters in (0, 2, 4):
+            cents = clustering.kmeans_fit(emb, k=4, iters=iters, seed=42)
+            s = (
+                clustering.assign_clusters(emb, cents)
+                .agg(F.sum("dist2")).collect()[0][0]
+            )
+            sse.append(s)
+        assert sse[0] > sse[1] >= sse[2]  # Lloyd's monotone objective
+
+    def test_semdedup_pairs_find_injected_neardups(self, spark):
+        from pyspark.sql import functions as F
+
+        from py_evalfilter_spark.operators import clustering
+
+        emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+        # inject: vec 1000000+i = vec i with one coordinate nudged
+        dup = emb.filter(F.col("vec_id") < 3).select(
+            (F.col("vec_id") + 1_000_000).alias("vec_id"),
+            F.transform(
+                "embedding", lambda x, i: F.when(i == 0, x + F.lit(1e-4)).otherwise(x)
+            ).alias("embedding"),
+            "label",
+        )
+        corpus = emb.unionByName(dup)
+        cents = clustering.kmeans_fit(corpus, k=4, iters=2, seed=42)
+        pairs = clustering.semdedup_pairs(corpus, cents, threshold=0.99).toPandas()
+        found = set(zip(pairs.doc_id, pairs.dup_id))
+        for i in range(3):
+            assert (i, 1_000_000 + i) in found, i
+        # and with unclustered noise vectors, no false pair survives 0.99
+        assert all(b - a == 1_000_000 for a, b in found)
