@@ -133,7 +133,8 @@ def unigram_model(
     text_col: str = "text",
     smoothing: float = 0.5,
     max_features: int | None = None,
-    min_df: int = 1,
+    min_count: int = 1,
+    pins=None,
 ) -> UnigramLM:
     """Fit a smoothed unigram LM on a reference corpus: returns
     UnigramLM(model(term, logp), oov_logp, rows) with
@@ -145,12 +146,17 @@ def unigram_model(
 
     `max_features` keeps the top-K terms by (count DESC, term ASC) — the
     reference's max_features discipline (generate_dataset_gvsb.py:34-38)
-    applied to the LM vocabulary; `min_df` drops the long tail below a
-    document-frequency floor first.  At web scale the reference corpus has
-    10⁷–10⁸ distinct terms; the cap is what keeps the scoring join's model
-    side broadcastable (VERDICT r3 "What's wrong #1").  The top-K select is
-    a distributed TakeOrderedAndProject (per-partition partial top-K, driver
-    merge) — driver memory is bounded by K, not by V.
+    applied to the LM vocabulary; `min_count` drops the long tail below a
+    COLLECTION-frequency floor first (total occurrences, not sklearn-style
+    document frequency — hence not named min_df).  At web scale the
+    reference corpus has 10⁷–10⁸ distinct terms; the cap is what keeps the
+    scoring join's model side broadcastable (VERDICT r3 "What's wrong
+    #1").  The top-K select is a distributed TakeOrderedAndProject
+    (per-partition partial top-K, driver merge) — driver memory is bounded
+    by K, not by V.  When a cut is active the counts frame is pinned
+    (consumed by the totals collect, the kept-mass collect, and the
+    returned model's lineage — three full-corpus explodes otherwise); pass
+    a PinScope to own eviction.
 
     This is the relational core of perplexity-based quality filtering
     (CCNet / GPT-3 appendix A: score crawl text against an LM fit on a
@@ -162,22 +168,30 @@ def unigram_model(
     contract, like the categorical-domain collects)."""
     import math
 
+    from ..pinning import pin as _pin
+
     counts = (
         reference.select(F.explode(_word_tokens(text_col)).alias("term"))
         .groupBy("term")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+    cut_active = min_count > 1 or max_features is not None
+    if cut_active:
+        counts = _pin(counts, pins)
     total = counts.agg(
         F.sum("cnt").alias("n"), F.count(F.lit(1)).alias("v")
     ).collect()[0]
     n_tokens, vocab = int(total["n"] or 0), int(total["v"] or 0)
 
     kept = counts
-    if min_df > 1:
-        kept = kept.filter(F.col("cnt") >= min_df)
+    if min_count > 1:
+        kept = kept.filter(F.col("cnt") >= min_count)
     if max_features is not None:
-        kept = kept.orderBy(F.col("cnt").desc(), F.col("term")).limit(max_features)
-    if min_df > 1 or max_features is not None:
+        kept = _pin(
+            kept.orderBy(F.col("cnt").desc(), F.col("term")).limit(max_features),
+            pins,
+        )
+    if cut_active:
         kstat = kept.agg(
             F.sum("cnt").alias("ks"), F.count(F.lit(1)).alias("kc")
         ).collect()[0]
@@ -283,11 +297,15 @@ def with_fingerprint(
     minima xor-fold into one stable 64-bit id.  O(n·window) JVM work per
     doc; every primitive (substr, md5, least-of-slice, xor fold) exists
     verbatim in DuckDB, so the operator carries a full value oracle."""
-    n_grams = F.greatest(F.length(text_col) - (k - 1), F.lit(1))
+    # NULL text hashes like the empty string (parity with the Python twin's
+    # non-str branch) — without the coalesce every NULL propagates to a
+    # NULL fingerprint, which never matches anything in a dedup join
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    n_grams = F.greatest(F.length(t) - (k - 1), F.lit(1))
     hashes = F.transform(
         F.sequence(F.lit(1), n_grams),
         lambda i: F.conv(
-            F.substring(F.md5(F.substring(F.col(text_col), i, k)), 1, 8), 16, 10
+            F.substring(F.md5(F.substring(t, i, k)), 1, 8), 16, 10
         ).cast("long"),
     )
     # project the hash array to a NAMED column before the windowed slice —

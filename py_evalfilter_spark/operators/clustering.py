@@ -75,36 +75,48 @@ def kmeans_fit(
     round_decimals: int = 6,
 ) -> list[list[float]]:
     """Fixed-iteration deterministic Lloyd's; returns the k centroids
-    (k × dim floats — driver-bounded by contract)."""
+    (k × dim floats — driver-bounded by contract).  The prepared vector
+    frame is pinned for the fit's lifetime (the seed sort plus every
+    iteration's assign + update reads it — 2·iters+1 upstream re-reads
+    otherwise) and released before returning: the fit ends in a collect,
+    so unlike the pair operators it owns its own eviction boundary."""
+    from ..pinning import PinScope
+
     d = df.select(
         F.col(id_col).alias("_kid"),
         F.transform(vec_col, lambda x: x.cast("double")).alias("vec"),
     )
-    seeds = (
-        d.orderBy(
-            F.md5(F.concat_ws(":", F.col("_kid"), F.lit(seed))), F.col("_kid")
-        )
-        .limit(k)
-        .collect()
-    )
-    centroids = [[round(float(x), round_decimals) for x in r["vec"]] for r in seeds]
-    for _ in range(iters):
-        assigned = _assign(d, centroids, "_kid")
-        rows = (
-            assigned.select("cluster", F.posexplode("vec").alias("dim", "val"))
-            .groupBy("cluster", "dim")
-            .agg(F.avg("val").alias("m"))
+    with PinScope() as fit_pins:
+        d = fit_pins.pin(d)
+        seeds = (
+            d.orderBy(
+                F.md5(F.concat_ws(":", F.col("_kid"), F.lit(seed))), F.col("_kid")
+            )
+            .limit(k)
             .collect()
         )
-        new: dict[int, dict[int, float]] = {}
-        for r in rows:
-            new.setdefault(r["cluster"], {})[r["dim"]] = round(
-                float(r["m"]), round_decimals
+        if len(seeds) < k:
+            raise ValueError(
+                f"kmeans_fit: k={k} but the input has only {len(seeds)} rows"
             )
-        centroids = [
-            [new[c][i] for i in range(len(centroids[c]))] if c in new else centroids[c]
-            for c in range(k)
-        ]
+        centroids = [[round(float(x), round_decimals) for x in r["vec"]] for r in seeds]
+        for _ in range(iters):
+            assigned = _assign(d, centroids, "_kid")
+            rows = (
+                assigned.select("cluster", F.posexplode("vec").alias("dim", "val"))
+                .groupBy("cluster", "dim")
+                .agg(F.avg("val").alias("m"))
+                .collect()
+            )
+            new: dict[int, dict[int, float]] = {}
+            for r in rows:
+                new.setdefault(r["cluster"], {})[r["dim"]] = round(
+                    float(r["m"]), round_decimals
+                )
+            centroids = [
+                [new[c][i] for i in range(len(centroids[c]))] if c in new else centroids[c]
+                for c in range(k)
+            ]
     return centroids
 
 
@@ -131,16 +143,24 @@ def semdedup_pairs(
     threshold: float = 0.95,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    pins=None,
 ) -> DataFrame:
     """Within-cluster cosine ≥ threshold pairs (doc_id < dup_id) — the
     SemDeDup candidate structure: clusters partition the O(n²) search.
-    Output feeds graph.dedup_keep_canonical like every other pair op."""
+    Output feeds graph.dedup_keep_canonical like every other pair op.
+    The assignment frame feeds BOTH sides of the cluster self-join, so it
+    is pinned like its sibling pair operators (eviction via `pins`)."""
+    from ..pinning import pin as _pin
+
     from .similarity import cosine_expr
 
-    assigned = assign_clusters(df, centroids, vec_col, id_col).select(
-        F.col(id_col).alias("doc_id"),
-        F.transform(vec_col, lambda x: x.cast("double")).alias("vec"),
-        "cluster",
+    assigned = _pin(
+        assign_clusters(df, centroids, vec_col, id_col).select(
+            F.col(id_col).alias("doc_id"),
+            F.transform(vec_col, lambda x: x.cast("double")).alias("vec"),
+            "cluster",
+        ),
+        pins,
     )
     l, r = assigned.alias("l"), assigned.alias("r")
     return (

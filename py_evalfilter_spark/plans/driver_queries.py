@@ -1476,8 +1476,8 @@ SQL_FINGERPRINT = """
 WITH h AS (
   SELECT doc_id,
          list_transform(
-           range(1, greatest(length(text) - 6, 1) + 1),
-           i -> CAST(concat('0x', substr(md5(substr(text, CAST(i AS INTEGER), 7)), 1, 8)) AS BIGINT)
+           range(1, greatest(length(COALESCE(text, '')) - 6, 1) + 1),
+           i -> CAST(concat('0x', substr(md5(substr(COALESCE(text, ''), CAST(i AS INTEGER), 7)), 1, 8)) AS BIGINT)
          ) AS hashes
   FROM documents
 ),
@@ -2194,21 +2194,35 @@ def q_semantic_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _kmeans_oracle_sql(k: int, iters: int, dim: int, seed: int) -> str:
+def _kmeans_oracle_sql(
+    k: int,
+    iters: int,
+    dim: int,
+    seed: int,
+    v_body: str | None = None,
+    final: str = "assign",
+    threshold: float = 0.99,
+) -> str:
     """Unrolled Lloyd's in DuckDB: c0 = md5-seeded init, then per iteration
-    (assign under c_i) -> (per-dim avg, rounded) -> c_{i+1}; output = the
-    final assignment.  Mirrors clustering.kmeans_fit exactly: d2 rounded to
-    8 before the argmin (ties to lowest cid), centroids rounded to 6, empty
-    clusters keep their previous centroid."""
+    (assign under c_i) -> (per-dim avg, rounded) -> c_{i+1}.  Mirrors
+    clustering.kmeans_fit exactly: d2 rounded to 8 before the argmin (ties
+    to lowest cid), centroids rounded to 6, empty clusters keep their
+    previous centroid.  `v_body` overrides the input CTE (e.g. a
+    dup-injected corpus); `final` picks the output — the assignment
+    ('assign') or the SemDeDup within-cluster cosine pairs ('pairs')."""
     d2 = (
         "ROUND(list_sum(list_transform(range(1, {dim1}), "
         "i -> (vec[CAST(i AS INTEGER)] - cvec[CAST(i AS INTEGER)]) "
         "* (vec[CAST(i AS INTEGER)] - cvec[CAST(i AS INTEGER)]))), 8)"
     ).format(dim1=dim + 1)
+    if v_body is None:
+        v_body = (
+            "SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec"
+            "\n  FROM embeddings"
+        )
     parts = [
         "WITH v AS (",
-        "  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec",
-        "  FROM embeddings",
+        f"  {v_body}",
         "),",
         "c0 AS (",
         "  SELECT ROW_NUMBER() OVER (ORDER BY md5(vec_id || ':{seed}'), vec_id) - 1 AS cid,".format(seed=seed),
@@ -2248,17 +2262,70 @@ def _kmeans_oracle_sql(k: int, iters: int, dim: int, seed: int) -> str:
         "fin AS (",
         f"  SELECT v.vec_id, c.cid, {d2} AS d2",
         f"  FROM v CROSS JOIN c{iters} c",
+        "),",
+        "afin AS (",
+        "  SELECT vec_id, cid, d2 FROM (",
+        "    SELECT vec_id, cid, d2,",
+        "           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn",
+        "    FROM fin)",
+        "  WHERE rn = 1",
         ")",
-        "SELECT vec_id, CAST(cid AS INTEGER) AS cluster, ROUND(d2, 4) AS dist2 FROM (",
-        "  SELECT vec_id, cid, d2,",
-        "         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn",
-        "  FROM fin)",
-        "WHERE rn = 1",
     ]
+    if final == "assign":
+        parts += [
+            "SELECT vec_id, CAST(cid AS INTEGER) AS cluster, ROUND(d2, 4) AS dist2",
+            "FROM afin",
+        ]
+    else:
+        parts += [
+            "SELECT a.vec_id AS doc_id, b.vec_id AS dup_id,",
+            "       ROUND(list_cosine_similarity(av.vec, bv.vec), 4) AS cosine",
+            "FROM afin a JOIN afin b ON a.cid = b.cid AND a.vec_id < b.vec_id",
+            "JOIN v av ON av.vec_id = a.vec_id",
+            "JOIN v bv ON bv.vec_id = b.vec_id",
+            f"WHERE ROUND(list_cosine_similarity(av.vec, bv.vec), 4) >= {threshold}",
+        ]
     return "\n".join(parts)
 
 
 SQL_SEMANTIC_CLUSTER = _kmeans_oracle_sql(k=4, iters=2, dim=64, seed=42)
+
+# dup-injected corpus for the SemDeDup pairs oracle: every 53rd vector gets
+# a near-identical twin (first coordinate nudged by 1e-4) — mirrored by
+# q_semdedup's Spark-side injection
+_SEMDEDUP_V_BODY = """SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000 AS vec_id,
+         list_prepend(v[1] + 0.0001, v[2:]) AS vec
+  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+  WHERE vec_id % 53 = 0"""
+
+SQL_SEMDEDUP = _kmeans_oracle_sql(
+    k=4, iters=2, dim=64, seed=42, v_body=_SEMDEDUP_V_BODY, final="pairs",
+    threshold=0.99,
+)
+
+
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup within-cluster cosine pairs (clustering.semdedup_pairs) on
+    a dup-injected embeddings corpus: fit the same deterministic k-means,
+    then pair cosine ≥ 0.99 INSIDE clusters only — the oracle unrolls the
+    fit and replays the cluster-partitioned self-join."""
+    from ..operators import clustering
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    dups = emb.filter(F.col("vec_id") % 53 == 0).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.concat(
+            F.array(F.element_at("embedding", 1) + F.lit(0.0001)),
+            F.slice("embedding", 2, 63),
+        ).alias("embedding"),
+    )
+    corpus = emb.unionByName(dups)
+    cents = clustering.kmeans_fit(corpus, k=4, iters=2, seed=42)
+    return clustering.semdedup_pairs(corpus, cents, threshold=0.99)
 
 
 def q_cap_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2374,6 +2441,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cap_per_group": q_cap_per_group,
     "dsir_weights": q_dsir_weights,
     "semantic_cluster": q_semantic_cluster,
+    "semdedup": q_semdedup,
 }
 
 ORACLES: dict[str, str] = {
@@ -2435,6 +2503,7 @@ ORACLES: dict[str, str] = {
     "cap_per_group": SQL_CAP_PER_GROUP,
     "dsir_weights": SQL_DSIR_WEIGHTS,
     "semantic_cluster": SQL_SEMANTIC_CLUSTER,
+    "semdedup": SQL_SEMDEDUP,
     # rows-only (Arrow-UDF tokenizers / banded-LSH internals / iterative
     # component loops not expressible in ANSI SQL; allclose- or
     # recall-tested in pytest, and every curation_pipeline stage is

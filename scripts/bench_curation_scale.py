@@ -31,6 +31,7 @@ counts, peak RSS.  Never run concurrently with another Spark workload.
 from __future__ import annotations
 
 import argparse
+import glob
 import json
 import os
 import resource
@@ -40,63 +41,50 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# one consuming column per packed-output stage: a bare count() lets
+# Catalyst prune the tokenize+packing window entirely (CLAUDE.md bench
+# rule) — the first version of this script under-measured exactly that
+CONSUME_PACKED = [
+    "count(*) AS n",
+    "sum(n_tokens) AS tok",      # tokenize
+    "sum(pack_id) AS pid",       # packing window (cumsum/budget)
+    "sum(pack_offset) AS poff",
+    "sum(n_email + n_ip + n_phone) AS pii",  # PII scrub counts
+]
 
-def main() -> None:
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--mult", type=int, default=2000)
-    ap.add_argument("--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
-    ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
-    ap.add_argument("--work-dir", default="/tmp/curation_scale")
-    ap.add_argument(
-        "--staged",
-        action="store_true",
-        help="run curate_corpus_staged (durable parquet stage boundaries) "
-        "instead of the in-memory flow.  At ~10M docs on ONE box the "
-        "in-memory flow needs >80 GB of SIMULTANEOUS transient storage "
-        "(every stage boundary's spilled persist + every shuffle stays "
-        "referenced until the single final action), which exceeds the "
-        "sandbox disk — measured, see BENCH/BASELINE.md round 4.  The "
-        "staged flow is the designed at-scale mode: each boundary commits "
-        "to compressed parquet, stage pins release, upstream lineage (and "
-        "its shuffle files) becomes collectable between stages.",
-    )
-    args = ap.parse_args()
 
-    # Memory discipline for the 10M-doc run, learned from an OOM-killed
-    # first attempt (kernel global OOM at 54 GB JVM RSS): a 48g driver heap
-    # fills with the pinned stage boundaries, the tmpfs shuffle dir
-    # (/dev/shm) claims host RAM on top, and 32 Python workers add ~20 GB —
-    # together past the 125 GB box.  The real-cluster discipline is a
-    # BOUNDED heap that spills persist/shuffle blocks to executor-local
-    # DISK, so this run pins the heap at 24g and points the local dir at
-    # real disk.  (The small-SF benches keep tmpfs — that trade is
-    # documented in session.get_spark.)
-    os.environ.setdefault("SPARK_DRIVER_MEMORY", "24g")
-    os.environ.setdefault("SPARK_LOCAL_DIRS", "/tmp/spark-local-big")
-    os.makedirs(os.environ["SPARK_LOCAL_DIRS"], exist_ok=True)
+def jvm_peak_rss_gb() -> float:
+    """Peak RSS (VmHWM) across live java processes — the number that
+    matters for 'flat memory': the Spark driver JVM holds the heap and
+    the pinned/spilled blocks, not this Python launcher."""
+    peak = 0
+    for status in glob.glob("/proc/[0-9]*/status"):
+        try:
+            comm = open(status.replace("status", "comm")).read().strip()
+            if comm != "java":
+                continue
+            for line in open(status):
+                if line.startswith("VmHWM:"):
+                    peak = max(peak, int(line.split()[1]))
+                    break
+        except OSError:
+            continue
+    return round(peak / 1e6, 2)
 
+
+def synthesize_replicated_corpus(spark, sf_dir: str, work: str, mult: int, partitions: int):
+    """The marker-perturbed mult-fold corpus (module docstring) — shared by
+    the 10M robustness run and the scaling pair so the two benchmarks can
+    never drift onto different corpora."""
     from pyspark.sql import functions as F
 
-    from py_evalfilter_spark.pinning import PinScope
-    from py_evalfilter_spark.plans import curation
-    from py_evalfilter_spark.session import get_spark
-
-    spark = get_spark(master=f"local[{args.cpus}]", shuffle_partitions=2 * args.cpus)
-
-    work = args.work_dir
-    shutil.rmtree(work, ignore_errors=True)
-    os.makedirs(work, exist_ok=True)
-
-    # --- synthesis -------------------------------------------------------
-    t0 = time.monotonic()
-    base = spark.read.parquet(f"{args.sf_dir}/documents.parquet")
-    n_base = base.count()
+    base = spark.read.parquet(f"{sf_dir}/documents.parquet")
     # repartition BEFORE the explode: the sf table is one parquet file, and
     # without this the whole mult-fold expansion runs as a single task
     # (single-file input trap, BENCH/BASELINE.md round 3)
     reps = (
-        base.repartition(4 * args.cpus)
-        .withColumn("rep", F.explode(F.sequence(F.lit(0), F.lit(args.mult - 1))))
+        base.repartition(partitions)
+        .withColumn("rep", F.explode(F.sequence(F.lit(0), F.lit(mult - 1))))
         .withColumn(
             "new_id",
             F.col("doc_id") + F.col("rep").cast("long") * F.lit(10_000_000),
@@ -137,12 +125,65 @@ def main() -> None:
         )
     )
     reps.write.mode("overwrite").parquet(f"{work}/documents.parquet")
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mult", type=int, default=2000)
+    ap.add_argument("--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
+    ap.add_argument("--work-dir", default="/tmp/curation_scale")
+    ap.add_argument(
+        "--staged",
+        action="store_true",
+        help="run curate_corpus_staged (durable parquet stage boundaries) "
+        "instead of the in-memory flow.  At ~10M docs on ONE box the "
+        "in-memory flow needs >80 GB of SIMULTANEOUS transient storage "
+        "(every stage boundary's spilled persist + every shuffle stays "
+        "referenced until the single final action), which exceeds the "
+        "sandbox disk — measured, see BENCH/BASELINE.md round 4.  The "
+        "staged flow is the designed at-scale mode: each boundary commits "
+        "to compressed parquet, stage pins release, upstream lineage (and "
+        "its shuffle files) becomes collectable between stages.",
+    )
+    args = ap.parse_args()
+
+    # Memory discipline for the 10M-doc run, learned from an OOM-killed
+    # first attempt (kernel global OOM at 54 GB JVM RSS): a 48g driver heap
+    # fills with the pinned stage boundaries, the tmpfs shuffle dir
+    # (/dev/shm) claims host RAM on top, and 32 Python workers add ~20 GB —
+    # together past the 125 GB box.  The real-cluster discipline is a
+    # BOUNDED heap that spills persist/shuffle blocks to executor-local
+    # DISK, so this run pins the heap at 24g and points the local dir at
+    # real disk.  (The small-SF benches keep tmpfs — that trade is
+    # documented in session.get_spark.)
+    os.environ.setdefault("SPARK_DRIVER_MEMORY", "24g")
+    os.environ.setdefault("SPARK_LOCAL_DIRS", "/tmp/spark-local-big")
+    os.makedirs(os.environ["SPARK_LOCAL_DIRS"], exist_ok=True)
+
+    from py_evalfilter_spark.pinning import PinScope
+    from py_evalfilter_spark.plans import curation
+    from py_evalfilter_spark.session import get_spark
+
+    spark = get_spark(master=f"local[{args.cpus}]", shuffle_partitions=2 * args.cpus)
+
+    work = args.work_dir
+    shutil.rmtree(work, ignore_errors=True)
+    os.makedirs(work, exist_ok=True)
+
+    # --- synthesis -------------------------------------------------------
+    t0 = time.monotonic()
+    n_base = spark.read.parquet(f"{args.sf_dir}/documents.parquet").count()
+    synthesize_replicated_corpus(spark, args.sf_dir, work, args.mult, 4 * args.cpus)
     synth_sec = time.monotonic() - t0
     n_total = spark.read.parquet(f"{work}/documents.parquet").count()
 
     # --- curation --------------------------------------------------------
     t1 = time.monotonic()
     if args.staged:
+        # every staged boundary is fully WRITTEN to parquet inside
+        # run_stage, so nothing is prunable; the final re-read count is a
+        # trivial footer scan
         packed, manifests = curation.curate_corpus_staged(
             spark, work, f"{work}/stages", budget=256
         )
@@ -154,11 +195,11 @@ def main() -> None:
             out = curation.curate_corpus(
                 spark, work, budget=256, observations=obs, pins=pins
             )
-            n_packed = out.count()
+            n_packed = int(out.selectExpr(*CONSUME_PACKED).collect()[0]["n"])
             counts = {k: int(o.get["rows"]) for k, o in obs.items()}
     curate_sec = time.monotonic() - t1
 
-    peak_rss_gb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
+    py_rss_gb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
     print(
         json.dumps(
             {
@@ -172,7 +213,8 @@ def main() -> None:
                 "docs_per_sec": round(n_total / curate_sec, 1),
                 "n_packed_rows": n_packed,
                 "stage_counts": counts,
-                "driver_peak_rss_gb": round(peak_rss_gb, 2),
+                "jvm_peak_rss_gb": jvm_peak_rss_gb(),
+                "python_peak_rss_gb": round(py_rss_gb, 2),
                 "cpus": args.cpus,
             }
         )

@@ -30,37 +30,19 @@ sys.path.insert(0, REPO)
 SYNTH = r"""
 import sys, json
 sys.path.insert(0, {repo!r})
-from pyspark.sql import functions as F
+sys.path.insert(0, {repo!r} + "/scripts")
+from bench_curation_scale import synthesize_replicated_corpus  # SHARED synthesis
 from py_evalfilter_spark.session import get_spark
 spark = get_spark(master="local[32]", shuffle_partitions=64)
-base = spark.read.parquet({sf_dir!r} + "/documents.parquet")
-reps = (
-    base.repartition(128)
-    .withColumn("rep", F.explode(F.sequence(F.lit(0), F.lit({mult} - 1))))
-    .withColumn("new_id", F.col("doc_id") + F.col("rep").cast("long") * F.lit(10_000_000))
-    .withColumn("marker", F.concat(F.lit("w"), ((F.col("doc_id") * 31 + F.col("rep")) % 9973).cast("string")))
-    .withColumn("words", F.split("text", " "))
-    .withColumn(
-        "text",
-        F.when((F.col("doc_id") + F.col("rep")) % 50 == 0, F.col("text")).otherwise(
-            F.array_join(
-                F.transform(
-                    "words",
-                    lambda w, i: F.when(i % 2 == 1, F.concat(w, F.lit(" "), F.col("marker"))).otherwise(w),
-                ),
-                " ",
-            )
-        ),
-    )
-    .select(F.col("new_id").alias("doc_id"), "text", "lang", "source", F.length("text").alias("n_chars"))
-)
-reps.write.mode("overwrite").parquet({work!r} + "/documents.parquet")
+synthesize_replicated_corpus(spark, {sf_dir!r}, {work!r}, {mult}, 128)
 print(json.dumps({{"n_docs": spark.read.parquet({work!r} + "/documents.parquet").count()}}))
 """
 
 RUNNER = r"""
 import sys, json, time
 sys.path.insert(0, {repo!r})
+sys.path.insert(0, {repo!r} + "/scripts")
+from bench_curation_scale import CONSUME_PACKED  # un-prunable aggregation
 from py_evalfilter_spark.pinning import PinScope
 from py_evalfilter_spark.plans import curation
 from py_evalfilter_spark.session import get_spark
@@ -70,7 +52,7 @@ n_docs = spark.read.parquet({work!r} + "/documents.parquet").count()
 t0 = time.perf_counter()
 with PinScope() as pins:
     out = curation.curate_corpus(spark, {work!r}, budget=256, pins=pins)
-    n = out.count()
+    n = int(out.selectExpr(*CONSUME_PACKED).collect()[0]["n"])
 wall = time.perf_counter() - t0
 print(json.dumps({{"n_docs": n_docs, "rows_packed": n, "wall_sec": round(wall, 2),
                    "docs_per_sec": round(n_docs / wall, 1)}}))

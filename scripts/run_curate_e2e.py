@@ -91,7 +91,12 @@ def run_and_kill_mid_stage2(cmd: list[str], out_dir: str, timeout: float = 900.0
             pass
         proc.wait()
     assert os.path.exists(manifest), "kill landed before stage 1 committed"
-    assert not os.path.exists(f"{out_dir}/packed/_lineage_manifest.json")
+    # the DOCUMENTED kill point is mid-`deduped`: its manifest must be
+    # absent, or the rerun would legitimately resume it and the
+    # resume-flags assertion would flag a healthy run as broken
+    assert not os.path.exists(f"{out_dir}/deduped/_lineage_manifest.json"), (
+        "deduped committed inside the kill window — shrink the sleep"
+    )
     return killed_at
 
 

@@ -472,13 +472,15 @@ class TestUnigramLM:
         kept = sorted(r["term"] for r in lm.model.collect())
         assert kept == ["aa", "bb"]  # all cnt=2 except dd; term ASC breaks tie
 
-    def test_min_df_drops_tail(self, spark):
+    def test_min_count_drops_tail(self, spark):
+        # COLLECTION-frequency floor (total occurrences; deliberately not
+        # named min_df — 'cat' survives on 2 occurrences in ONE doc)
         from py_evalfilter_spark.functions import textanalysis
 
         ref = spark.createDataFrame(
             [(1, "cat cat dog emu")], "doc_id long, text string"
         )
-        lm = textanalysis.unigram_model(ref, min_df=2)
+        lm = textanalysis.unigram_model(ref, min_count=2)
         assert {r["term"] for r in lm.model.collect()} == {"cat"}
         assert lm.rows == 1
 

@@ -91,9 +91,10 @@ class TestFingerprint:
             "aaaaaaaaaaaaaaaaaaaaaa",  # degenerate: all k-grams equal
             "punctuation?! and   spaces",
             "ünïcödé tëxt with àccents",
+            None,  # NULL hashes like "" (never a NULL fingerprint)
         ]
         df = spark.createDataFrame(
-            [(i, t) for i, t in enumerate(texts)], ["id", "text"]
+            [(i, t) for i, t in enumerate(texts)], "id long, text string"
         )
         got = {
             r["id"]: r["fingerprint"]
