@@ -59,12 +59,12 @@ print(json.dumps({{"n_docs": n_docs, "rows_packed": n, "wall_sec": round(wall, 2
 """
 
 
-def run_level(master: str, cores: int, work: str) -> dict:
+def run_level(master: str, cores: int, work: str, local_dirs: str) -> dict:
     env = dict(
         os.environ,
         SPARK_GRAFT_MASTER=master,
         SPARK_GRAFT_EXECUTOR_MEMORY="20g",
-        SPARK_LOCAL_DIRS="/dev/shm/spark-local",
+        SPARK_LOCAL_DIRS=local_dirs,
         SPARK_DRIVER_MEMORY="8g",
     )
     code = RUNNER.format(repo=REPO, work=work, parts=4 * cores)
@@ -94,6 +94,14 @@ def main() -> None:
     n_docs = json.loads(synth.stdout.strip().splitlines()[-1])["n_docs"]
     print(f"input ready: {n_docs} docs", flush=True)
 
+    # tmpfs shuffle dirs are fast but /dev/shm claims HOST ram — at >=1M
+    # docs that was a measured kernel OOM (CLAUDE.md big-run discipline;
+    # ADVICE r4).  Gate on the ACTUAL synthesized doc count.
+    local_dirs = (
+        "/dev/shm/spark-local" if n_docs < 1_000_000 else "/tmp/spark-local-scaling"
+    )
+    os.makedirs(local_dirs, exist_ok=True)
+
     specs = {
         "N": ("local-cluster[1,2,22528]", 2),
         "4N": ("local-cluster[4,2,22528]", 8),
@@ -101,7 +109,7 @@ def main() -> None:
     best: dict[str, dict] = {}
     for r in range(args.jvms):
         for name, (master, cores) in specs.items():
-            res = run_level(master, cores, args.work_dir)
+            res = run_level(master, cores, args.work_dir, local_dirs)
             print(f"round {r} {name} ({master}): {res}", flush=True)
             if name not in best or res["wall_sec"] < best[name]["wall_sec"]:
                 best[name] = res

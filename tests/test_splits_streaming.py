@@ -349,3 +349,145 @@ class TestStreamingNearDup:
             assert (a, b) in cands, (a, b)
         # the unrelated doc never pairs
         assert not any(6 in p for p in cands)
+
+    def test_replayed_docs_do_not_duplicate_pairs(self, spark, tmp_path):
+        """At-least-once replay (ADVICE r4): redelivering the same docs in
+        a later micro-batch must add NOTHING — no duplicate state entries,
+        no re-emitted pairs.  Two exact-dup docs share all 16 band buckets,
+        so the pair appears exactly 16 times regardless of replays."""
+        from py_evalfilter_spark.streaming import neardup, sessions
+
+        pdf = pd.DataFrame(
+            {
+                "doc_id": [1, 2],
+                "text": ["spark structured streaming state store eviction test"] * 2,
+            }
+        )
+        sdf = spark.createDataFrame(pdf)
+        src = str(tmp_path / "replay_docs")
+        sdf.coalesce(1).write.parquet(f"{src}/f=1")
+        sdf.coalesce(1).write.parquet(f"{src}/f=2")  # exact redelivery
+
+        stream = (
+            spark.readStream.schema(sdf.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/f=*")
+        )
+        sessions.run_stream_once(
+            stream,
+            lambda s: neardup.streaming_minhash_candidates(s, unit="word"),
+            "stream_replay",
+        )
+        got = spark.sql("SELECT * FROM stream_replay").toPandas()
+        assert set(zip(got.doc_id, got.dup_id)) == {(1, 2)}
+        assert len(got) == 16, f"replay duplicated emissions: {len(got)} rows"
+
+    def test_non_integral_id_rejected(self, spark):
+        """The state schema stores ids as long; a string id column must be
+        rejected up front instead of silently int()-truncating (ADVICE r4)."""
+        from py_evalfilter_spark.streaming import neardup
+
+        sdf = spark.createDataFrame(
+            pd.DataFrame({"doc_id": ["a"], "text": ["some text"]})
+        )
+        with pytest.raises(TypeError, match="integral"):
+            neardup.streaming_minhash_candidates(sdf)
+
+    def test_bucket_cap_evicts_oldest_fifo(self, spark, tmp_path):
+        """max_bucket_size bounds per-bucket state on an adversarial flood
+        (VERDICT r4 #5): with cap=2 and four identical docs in four
+        micro-batches, doc 4 pairs only against the two MOST RECENT state
+        entries — the oldest was evicted."""
+        from py_evalfilter_spark.streaming import neardup, sessions
+
+        text = "adversarial flood of identical documents hammering one bucket"
+        schema = "doc_id long, text string"
+        src = str(tmp_path / "flood_docs")
+        for i in (1, 2, 3, 4):
+            spark.createDataFrame([(i, text)], schema).coalesce(1).write.parquet(
+                f"{src}/f={i}"
+            )
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/f=*")
+        )
+        sessions.run_stream_once(
+            stream,
+            lambda s: neardup.streaming_minhash_candidates(
+                s, unit="word", max_bucket_size=2
+            ),
+            "stream_flood",
+        )
+        got = spark.sql("SELECT * FROM stream_flood").toPandas()
+        pairs = set(zip(got.doc_id, got.dup_id))
+        assert (2, 4) in pairs and (3, 4) in pairs
+        assert (1, 4) not in pairs, "oldest entry was not evicted"
+        assert {(1, 2), (1, 3), (2, 3)} <= pairs  # pre-eviction pairs intact
+
+    def test_idle_bucket_timeout_returns_state_to_bounded(self, spark, tmp_path):
+        """Idle buckets are evicted after `timeout` (VERDICT r4 #5: a long
+        stream with idle buckets must return to bounded state): doc 1's
+        state is swept to ZERO rows by the engine's no-data timer batches
+        while the stream idles, so a later exact dup of doc 1 finds empty
+        state and emits no pair.
+
+        NOTE: driven by progress polling, not processAllAvailable — with
+        ProcessingTimeTimeout this Spark build never reports "caught up"
+        (the timer machinery keeps scheduling micro-batches), so
+        processAllAvailable blocks forever (measured; hence also why
+        `timeout` is opt-in rather than a default)."""
+        import time
+
+        from py_evalfilter_spark.streaming import neardup
+
+        schema = "doc_id long, text string"
+        src = str(tmp_path / "timeout_docs")
+        text_a = "the first document whose bucket state must expire eventually"
+        spark.createDataFrame([(1, text_a)], schema).coalesce(1).write.parquet(
+            f"{src}/f=1"
+        )
+        stream = spark.readStream.schema(schema).parquet(f"{src}/f=*")
+        out = neardup.streaming_minhash_candidates(
+            stream, unit="word", timeout="1 second"
+        )
+        q = (
+            out.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("stream_timeout")
+            .start()
+        )
+
+        def inputs() -> int:
+            return sum(p.numInputRows for p in q.recentProgress)
+
+        def state_rows():
+            lp = q.lastProgress
+            if not lp or not lp.get("stateOperators"):
+                return None
+            return lp["stateOperators"][0]["numRowsTotal"]
+
+        def wait(cond, t=90.0) -> bool:
+            deadline = time.time() + t
+            while time.time() < deadline:
+                if cond():
+                    return True
+                time.sleep(0.3)
+            return False
+
+        try:
+            # doc 1 lands: one state row per band bucket
+            assert wait(lambda: state_rows() == 16), q.lastProgress
+            # the stream idles past the timeout: the timer sweep must
+            # return the state store to ZERO rows — the bounded-state claim
+            assert wait(lambda: state_rows() == 0), q.lastProgress
+            # exact dup of doc 1 — state was evicted, so NO pair
+            spark.createDataFrame([(2, text_a)], schema).coalesce(1).write.parquet(
+                f"{src}/f=2"
+            )
+            assert wait(lambda: inputs() >= 2), q.lastProgress
+            time.sleep(2)  # let the f=2 batch's (empty) output commit
+        finally:
+            q.stop()
+        got = spark.sql("SELECT * FROM stream_timeout").toPandas()
+        assert len(got) == 0, f"evicted bucket still paired: {got}"
