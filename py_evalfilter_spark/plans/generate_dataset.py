@@ -237,13 +237,19 @@ def generate_price(
     n_folds: int = 1,
     pos_min_df: int = 10,
     pos_max_features: int = 1000,
+    type_min_df: int = 10,
+    type_max_features: int = 1000,
     word_min_df: int = 25,
     word_max_features: int = 0,
     **kwargs,
 ) -> dict:
     """The generate_dataset_price.py entry point: price target + userprofile
     block (profile categoricals one-hot like DictVectorizer) + text blocks
-    (incl. the optional rant_bow word TF-IDF, --word-max-features)."""
+    (incl. the optional rant_bow word TF-IDF, --word-max-features).
+
+    Defaults match the reference price CLI, which differs from gvsb on the
+    TYPE block too (generate_dataset_price.py:40-45: type 1000/min_df 10,
+    pos 1000/min_df 10, word off)."""
     data = rants_csv.load_fuman_userprofile(spark, source_path, target="price")
     # DictVectorizer semantics on the profile: numeric fields pass through,
     # string categoricals one-hot with 'field=value' names, alpha-sorted
@@ -273,6 +279,8 @@ def generate_price(
         flat,
         pos_min_df=pos_min_df,
         pos_max_features=pos_max_features,
+        type_min_df=type_min_df,
+        type_max_features=type_max_features,
         word_min_df=word_min_df,
         word_max_features=word_max_features,
         **kwargs,
