@@ -153,6 +153,7 @@ def semdedup_pairs(
     id_col: str = "vec_id",
     pins=None,
     max_cluster_size: int | None = 100_000,
+    max_candidate_mass: int | None = None,
 ) -> DataFrame:
     """Within-cluster cosine ≥ threshold pairs (doc_id < dup_id) — the
     SemDeDup candidate structure: clusters partition the O(n²) search.
@@ -173,7 +174,18 @@ def semdedup_pairs(
     cluster and its size (an oversized cluster is the signal that k is too
     small for the corpus).  Default 100k ⇒ worst per-cluster candidate
     mass ~10¹⁰·|c|/max — pick max so a sub-bucket's all-pairs fits an
-    executor task."""
+    executor task.
+
+    `max_candidate_mass` additionally bounds the TOTAL predicted candidate
+    count (sum of squared bucket sizes, computed from the same observed
+    sizes, i.e. for free): the round-5 scale run measured that ordinary -
+    not degenerate - cluster sizes make the self-join quadratic long
+    before any single cluster is 'giant' (k=64 over 1M docs means 15.6G
+    candidates, hours of cosine work; BENCH/BASELINE.md round 5).  When
+    set and exceeded, the operator raises up front with the k it would
+    take, instead of launching an unpayable join - SemDeDup's k must
+    SCALE WITH n (Abbas et al. use n/k around 10^3); this guard is what
+    tells you yours doesn't."""
     import math
     import warnings
 
@@ -190,19 +202,35 @@ def semdedup_pairs(
         pins,
     )
     sub = F.lit(0)
-    if max_cluster_size is not None:
+    if max_cluster_size is not None or max_candidate_mass is not None:
         sizes = {
             r["cluster"]: r["n"]
             for r in assigned.groupBy("cluster")
             .agg(F.count(F.lit(1)).alias("n"))
             .collect()  # bounded by k rows
         }
+        cap = max_cluster_size if max_cluster_size is not None else max(
+            sizes.values(), default=1
+        )
         over = {
-            c: math.ceil(n / max_cluster_size)
-            for c, n in sizes.items()
-            if n > max_cluster_size
+            c: math.ceil(n / cap) for c, n in sizes.items() if n > cap
         }
-        if over:
+        if max_candidate_mass is not None:
+            # predicted post-salt candidate count: Σ_buckets |b|²/2, with a
+            # salted cluster's mass ≈ size²/n_sub
+            mass = sum(n * n // (2 * over.get(c, 1)) for c, n in sizes.items())
+            if mass > max_candidate_mass:
+                n_total = sum(sizes.values())
+                k_needed = math.ceil(n_total * n_total / (2 * max_candidate_mass))
+                raise ValueError(
+                    f"semdedup_pairs: predicted ~{mass:.2e} candidate pairs "
+                    f"over {len(sizes)} buckets exceeds max_candidate_mass="
+                    f"{max_candidate_mass:.0e}; the within-cluster self-join "
+                    f"would be quadratic in practice.  Re-fit with k ≳ "
+                    f"{k_needed} (SemDeDup's k must scale with n) or lower "
+                    f"max_cluster_size to force salting"
+                )
+        if over and max_cluster_size is not None:
             warnings.warn(
                 "semdedup_pairs: cluster(s) over max_cluster_size="
                 f"{max_cluster_size} salted into sub-buckets (cluster: "

@@ -589,6 +589,24 @@ class TestClustering:
         assert unguarded >= 4900
         assert 0 < guarded < 2500, guarded
 
+    def test_semdedup_candidate_mass_guard_raises_upfront(self, spark):
+        """Round-5 scale lesson: ORDINARY cluster sizes go quadratic long
+        before any cluster is 'giant' (k=64 over 1M docs ⇒ 15.6G
+        candidates).  max_candidate_mass must refuse the join up front
+        with the k it would take — and pass when the budget is adequate."""
+        from py_evalfilter_spark.operators import clustering
+
+        emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+        cents = clustering.kmeans_fit(emb, k=4, iters=1, seed=42)
+        with pytest.raises(ValueError, match="k ≳"):
+            clustering.semdedup_pairs(
+                emb, cents, threshold=0.99, max_candidate_mass=100
+            )
+        ok = clustering.semdedup_pairs(
+            emb, cents, threshold=0.99, max_candidate_mass=10**9
+        )
+        ok.count()  # runs
+
     def test_semdedup_guard_noop_below_cap(self, spark):
         """With no oversized cluster the guard changes nothing: identical
         pair sets with the cap at its default and disabled."""
