@@ -104,7 +104,7 @@ def main() -> None:
 
         with PinScope() as pins:
             t1 = time.perf_counter()
-            n_pairs, pairs_sec, infeasible = None, None, None
+            n_pairs, pairs_sec, infeasible, n_injected_found = None, None, None, None
             try:
                 pairs = clustering.semdedup_pairs(
                     emb,
@@ -114,7 +114,19 @@ def main() -> None:
                     max_cluster_size=args.max_cluster_size,
                     max_candidate_mass=args.max_pairs,
                 )
-                n_pairs = pairs.count()
+                # one pass: total pairs + how many of the n_dups injected
+                # (i, i+2n) perturbation pairs were recovered
+                tot = pairs.agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum(
+                        F.when(
+                            (F.col("dup_id") == F.col("doc_id") + 2 * args.n)
+                            & (F.col("doc_id") < args.n_dups),
+                            1,
+                        ).otherwise(0)
+                    ).alias("inj"),
+                ).collect()[0]
+                n_pairs, n_injected_found = tot["n"], int(tot["inj"] or 0)
                 pairs_sec = round(time.perf_counter() - t1, 2)
             except ValueError as e:  # candidate-mass guard fired
                 infeasible = str(e)
@@ -137,9 +149,9 @@ def main() -> None:
             "pairs_sec": pairs_sec,
             "n_pairs": n_pairs,
             "pairs_infeasible": infeasible,
-            "dup_recall": None
-            if n_pairs is None
-            else round(n_pairs / max(args.n_dups, 1), 4),
+            "injected_dup_recall": None
+            if n_injected_found is None
+            else round(n_injected_found / max(args.n_dups, 1), 4),
             "centroid_floats": k * args.dim,
             "cluster_sizes": {
                 "n_clusters": len(sizes),

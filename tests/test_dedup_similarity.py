@@ -589,6 +589,56 @@ class TestClustering:
         assert unguarded >= 4900
         assert 0 < guarded < 2500, guarded
 
+    def test_assign_arrow_join_parity(self, spark):
+        """The vectorized Arrow assign (BLAS matmul) must reproduce the
+        broadcast-crossJoin assign bit-for-bit under the round(…,8)
+        contract: identical centroids out of the fit and identical
+        (id, cluster, dist2) assignments, at a k large enough that the
+        auto path picks arrow."""
+        from py_evalfilter_spark.operators import clustering
+
+        emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+        c_join = clustering.kmeans_fit(
+            emb, k=8, iters=2, seed=42, assign_method="join"
+        )
+        c_arrow = clustering.kmeans_fit(
+            emb, k=8, iters=2, seed=42, assign_method="arrow"
+        )
+        assert c_join == c_arrow
+        a_join = sorted(
+            map(tuple,
+                clustering.assign_clusters(
+                    emb, c_join, assign_method="join"
+                ).select("vec_id", "cluster", "dist2").collect())
+        )
+        a_arrow = sorted(
+            map(tuple,
+                clustering.assign_clusters(
+                    emb, c_join, assign_method="arrow"
+                ).select("vec_id", "cluster", "dist2").collect())
+        )
+        assert a_join == a_arrow
+        assert clustering.ARROW_ASSIGN_MIN_K <= 64  # auto engages at scale
+
+    def test_semdedup_pairs_arrow_join_parity(self, spark):
+        """The grouped-BLAS pairs stage must reproduce the self-join pairs
+        exactly: same (doc_id, dup_id, cosine) set under the round(…,4)
+        contract, at a threshold low enough to emit a non-trivial set."""
+        from py_evalfilter_spark.operators import clustering
+
+        emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+        cents = clustering.kmeans_fit(emb, k=4, iters=2, seed=42)
+        got = {}
+        for m in ("join", "arrow"):
+            got[m] = sorted(
+                map(tuple,
+                    clustering.semdedup_pairs(
+                        emb, cents, threshold=0.2, pair_method=m
+                    ).collect())
+            )
+        assert len(got["join"]) > 0
+        assert got["join"] == got["arrow"]
+
     def test_semdedup_candidate_mass_guard_raises_upfront(self, spark):
         """Round-5 scale lesson: ORDINARY cluster sizes go quadratic long
         before any cluster is 'giant' (k=64 over 1M docs ⇒ 15.6G
