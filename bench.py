@@ -113,6 +113,14 @@ CONSUME: dict[str, list[str]] = {
         "count(*) AS n", "sum(cluster) AS a",   # 2-iter Lloyd's fit + assign
         "sum(dist2) AS b",
     ],
+    "dup_spans": [
+        "count(*) AS n", "sum(dup_words) AS a",  # 8-gram window count + merge
+        "sum(n_spans) AS b", "sum(dup_frac) AS c",
+    ],
+    "classifier_score": [
+        "count(*) AS n", "sum(n_tokens) AS a",  # map-side md5-weight scoring
+        "sum(score) AS b",
+    ],
 }
 
 BENCH_QUERIES = list(CONSUME)

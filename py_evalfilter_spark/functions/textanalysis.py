@@ -322,3 +322,106 @@ def with_fingerprint(
         lambda acc, x: acc.bitwiseXOR(x),
     )
     return with_h.withColumn(out, fp).drop("_fp_hashes")
+
+
+# ---------------------------------------------------------------------------
+# linear quality-classifier scoring — the fastText/CCNet classifier shape
+# (Joulin et al. 2016; the GPT-3 / LLaMA pipelines score every document
+# with a linear model over averaged token features and filter on it)
+# ---------------------------------------------------------------------------
+
+
+def _md5_uniform_weight(token, seed: int):
+    """Deterministic per-token weight in [-1, 1): the repo's portable
+    md5-uniform idiom (same bit stream contract as mix_sources /
+    hashing_bucket_expr), shifted to be zero-mean.  Stands in for a
+    trained model's token coefficient when no weights frame is supplied —
+    every engine recomputes the identical weight from the token bytes, so
+    the scoring carries a full value oracle with no model artifact to
+    ship."""
+    h = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"w:{seed}:"), token)), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 1_000_000
+    )
+    return (h / 1_000_000.0) * 2 - 1
+
+
+def classifier_score(
+    df: DataFrame,
+    weights: DataFrame | None = None,
+    bias: float = 0.0,
+    seed: int = 42,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, n_tokens, score) — sigmoid(bias + mean token weight), the
+    1-output fastText shape: averaged unigram features through a linear
+    layer.  With `weights` (a (term, weight) frame — an exported trained
+    model), tokens join it broadcast with OOV weight 0; without, weights
+    come from the md5-uniform expression — pure map-side, NO join at all.
+
+    Scale shape: one explode + one per-doc aggregate; the only shuffle is
+    the (id)-keyed mean.  A real exported classifier is vocabulary-bounded
+    (fastText prunes to O(10^5-10^6) rows), so the broadcast is bounded by
+    the model artifact, not the corpus — the same contract as the unigram
+    LM's gated broadcast.
+
+    Zero-token documents keep their row: n_tokens=0, score=sigmoid(bias)
+    (the empty-average-is-zero convention — the unigram-LM zero-token
+    lesson applied from the start)."""
+    toks = df.select(
+        id_col, F.explode(_word_tokens(text_col)).alias("token")
+    )
+    if weights is not None:
+        weighted = toks.join(
+            F.broadcast(weights.select(F.col("term").alias("token"), "weight")),
+            "token",
+            "left",
+        ).withColumn("weight", F.coalesce("weight", F.lit(0.0)))
+    else:
+        weighted = toks.withColumn(
+            "weight", _md5_uniform_weight(F.col("token"), seed)
+        )
+    scored = weighted.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"), F.avg("weight").alias("_z")
+    )
+    return (
+        df.select(id_col)
+        .join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            F.round(
+                F.lit(1.0)
+                / (
+                    F.lit(1.0)
+                    + F.exp(-(F.lit(float(bias)) + F.coalesce("_z", F.lit(0.0))))
+                ),
+                4,
+            ).alias("score"),
+        )
+    )
+
+
+def filter_by_classifier(
+    df: DataFrame,
+    threshold: float = 0.5,
+    weights: DataFrame | None = None,
+    bias: float = 0.0,
+    seed: int = 42,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Keep documents scoring >= threshold (the pipeline's quality-cut
+    step); semi-joins the score frame so the surviving rows keep their
+    full original schema."""
+    keep = classifier_score(df, weights, bias, seed, id_col, text_col).filter(
+        F.col("score") >= threshold
+    )
+    return df.join(keep.select(id_col), id_col, "left_semi")

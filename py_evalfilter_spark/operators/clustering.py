@@ -127,6 +127,52 @@ def _assign_arrow(d: DataFrame, centroids: list[list[float]], id_col: str) -> Da
     )
 
 
+def _update_partials_arrow(d: DataFrame, centroids: list[list[float]]) -> DataFrame:
+    """One fused assign+partial-update map pass for a Lloyd iteration:
+    each partition streams its Arrow batches through the nearest-centroid
+    matmul and accumulates per-cluster (sum, count) locally, emitting
+    k×dim tiny rows (cluster, dim, s, c) at partition end — the
+    treeAggregate shape MLlib's k-means uses.  Replaces the
+    posexplode(vec) update (n·dim generated rows + shuffle per iteration:
+    64M rows at n=1M/dim=64) with a shuffle of partitions·k·dim
+    micro-rows; only the vec column crosses Arrow, and the ids never
+    move at all.  Same distance/argmin contract as _assign_arrow; the
+    resulting means are rounded to the fit's round_decimals, which is
+    what makes the partial-sum order difference immaterial (the same
+    argument that already covers JVM avg() vs numpy)."""
+    C = np.asarray(centroids, dtype=np.float64)
+    c_norm2 = (C * C).sum(axis=1)
+    k, dim = C.shape
+
+    def emit(batches):
+        sums = np.zeros((k, dim))
+        cnts = np.zeros(k, dtype=np.int64)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf["vec"].to_numpy()).astype(np.float64, copy=False)
+            d2 = np.round(
+                (X * X).sum(axis=1)[:, None] - 2.0 * (X @ C.T) + c_norm2[None, :], 8
+            )
+            cid = d2.argmin(axis=1)
+            np.add.at(sums, cid, X)
+            cnts += np.bincount(cid, minlength=k)
+        live = np.nonzero(cnts)[0]
+        if len(live):
+            yield pd.DataFrame(
+                {
+                    "cluster": np.repeat(live, dim).astype("int32"),
+                    "dim": np.tile(np.arange(dim, dtype="int32"), len(live)),
+                    "s": sums[live].ravel(),
+                    "c": np.repeat(cnts[live], dim),
+                }
+            )
+
+    return d.select("vec").mapInPandas(
+        emit, "cluster int, dim int, s double, c long"
+    )
+
+
 def _assign(
     d: DataFrame, centroids: list[list[float]], id_col: str,
     method: str = "auto",
@@ -180,14 +226,26 @@ def kmeans_fit(
                 f"kmeans_fit: k={k} but the input has only {len(seeds)} rows"
             )
         centroids = [[round(float(x), round_decimals) for x in r["vec"]] for r in seeds]
+        method = assign_method
+        if method == "auto":
+            method = "arrow" if k >= ARROW_ASSIGN_MIN_K else "join"
         for _ in range(iters):
-            assigned = _assign(d, centroids, "_kid", method=assign_method)
-            rows = (
-                assigned.select("cluster", F.posexplode("vec").alias("dim", "val"))
-                .groupBy("cluster", "dim")
-                .agg(F.avg("val").alias("m"))
-                .collect()
-            )
+            if method == "arrow":
+                # fused assign+partial-update: one map pass, micro-shuffle
+                rows = (
+                    _update_partials_arrow(d, centroids)
+                    .groupBy("cluster", "dim")
+                    .agg((F.sum("s") / F.sum("c")).alias("m"))
+                    .collect()
+                )
+            else:
+                assigned = _assign(d, centroids, "_kid", method=method)
+                rows = (
+                    assigned.select("cluster", F.posexplode("vec").alias("dim", "val"))
+                    .groupBy("cluster", "dim")
+                    .agg(F.avg("val").alias("m"))
+                    .collect()
+                )
             new: dict[int, dict[int, float]] = {}
             for r in rows:
                 new.setdefault(r["cluster"], {})[r["dim"]] = round(
@@ -272,6 +330,128 @@ def _pairs_arrow(assigned: DataFrame, threshold: float) -> DataFrame:
     return assigned.groupBy("cluster", "sub").applyInPandas(emit, schema)
 
 
+def _pairs_arrow_tiled(
+    assigned: DataFrame, threshold: float, tiles: dict[int, int]
+) -> DataFrame:
+    """EXACT tile-parallel variant of _pairs_arrow for buckets too large
+    for one task: a bucket with nb row-blocks becomes nb·(nb+1)/2
+    independent (ti ≤ tj) tile tasks — diagonal tiles do their block's
+    upper triangle, off-diagonal tiles the full cross-block product — so
+    the single-task straggler (measured: the largest k=256 cluster, 15.6k
+    vectors = 122M cosines, ~11 s serial at BOTH parallelism levels of
+    the round-5 scaling run) parallelizes WITHOUT the recall loss of
+    sub-bucket salting: every pair lands in exactly one tile, output is
+    set-identical to the untiled path (parity-pinned).  Cost: each row is
+    replicated to its nb tiles — shuffle grows by |c|·nb ≈ |c|²/tile_size
+    rows for the oversized clusters only."""
+    nb_expr = F.lit(1)
+    for c, nbv in tiles.items():
+        nb_expr = F.when(F.col("cluster") == c, F.lit(nbv)).otherwise(nb_expr)
+    blk = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":tile"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long"),
+        nb_expr.cast("long"),
+    ).cast("int")
+    with_blk = assigned.withColumn("_nb", nb_expr).withColumn("blk", blk)
+    tiled = with_blk.select(
+        "cluster",
+        "sub",
+        "blk",
+        "doc_id",
+        "vec",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.col("_nb") - 1),
+                lambda o: F.struct(
+                    F.least(F.col("blk"), o).alias("ti"),
+                    F.greatest(F.col("blk"), o).alias("tj"),
+                ),
+            )
+        ).alias("_t"),
+    ).select(
+        "cluster", "sub", "doc_id", "vec", "blk",
+        F.col("_t.ti").alias("ti"), F.col("_t.tj").alias("tj"),
+    )
+    id_type = assigned.schema["doc_id"].dataType.simpleString()
+    schema = f"doc_id {id_type}, dup_id {id_type}, cosine double"
+
+    def emit(key, pdf):
+        empty = pd.DataFrame({"doc_id": [], "dup_id": [], "cosine": []})
+        ti, tj = int(key[2]), int(key[3])
+        with np.errstate(divide="ignore", invalid="ignore"):
+            if ti == tj:
+                n = len(pdf)
+                if n < 2:
+                    return empty
+                pdf = pdf.sort_values("doc_id", kind="mergesort")
+                X = np.stack(pdf["vec"].to_numpy()).astype(np.float64, copy=False)
+                ids = pdf["doc_id"].to_numpy()
+                norms = np.sqrt((X * X).sum(axis=1))
+                block = max(16, 4_000_000 // n)
+                out_a, out_b, out_s = [], [], []
+                for i0 in range(0, n - 1, block):
+                    i1 = min(i0 + block, n)
+                    S = np.round(
+                        (X[i0:i1] @ X.T) / np.outer(norms[i0:i1], norms), 4
+                    )
+                    rr, cc = np.nonzero(S >= threshold)
+                    keep = cc > rr + i0
+                    rr, cc = rr[keep], cc[keep]
+                    if len(rr):
+                        out_a.append(ids[rr + i0])
+                        out_b.append(ids[cc])
+                        out_s.append(S[rr, cc])
+                if not out_a:
+                    return empty
+                return pd.DataFrame(
+                    {
+                        "doc_id": np.concatenate(out_a),
+                        "dup_id": np.concatenate(out_b),
+                        "cosine": np.concatenate(out_s),
+                    }
+                )
+            a = pdf[pdf["blk"] == ti]
+            b = pdf[pdf["blk"] == tj]
+            if not len(a) or not len(b):
+                return empty
+            XA = np.stack(a["vec"].to_numpy()).astype(np.float64, copy=False)
+            XB = np.stack(b["vec"].to_numpy()).astype(np.float64, copy=False)
+            ia, ib = a["doc_id"].to_numpy(), b["doc_id"].to_numpy()
+            na = np.sqrt((XA * XA).sum(axis=1))
+            nb_ = np.sqrt((XB * XB).sum(axis=1))
+            block = max(16, 4_000_000 // max(len(b), 1))
+            out_a, out_b, out_s = [], [], []
+            for i0 in range(0, len(a), block):
+                i1 = min(i0 + block, len(a))
+                S = np.round(
+                    (XA[i0:i1] @ XB.T) / np.outer(na[i0:i1], nb_), 4
+                )
+                rr, cc = np.nonzero(S >= threshold)
+                if len(rr):
+                    x, y = ia[rr + i0], ib[cc]
+                    out_a.append(np.minimum(x, y))
+                    out_b.append(np.maximum(x, y))
+                    out_s.append(S[rr, cc])
+            if not out_a:
+                return empty
+            return pd.DataFrame(
+                {
+                    "doc_id": np.concatenate(out_a),
+                    "dup_id": np.concatenate(out_b),
+                    "cosine": np.concatenate(out_s),
+                }
+            )
+
+    return tiled.groupBy("cluster", "sub", "ti", "tj").applyInPandas(emit, schema)
+
+
 def semdedup_pairs(
     df: DataFrame,
     centroids: list[list[float]],
@@ -282,6 +462,7 @@ def semdedup_pairs(
     max_cluster_size: int | None = 100_000,
     max_candidate_mass: int | None = None,
     pair_method: str = "auto",
+    tile_size: int | None = 4096,
 ) -> DataFrame:
     """Within-cluster cosine ≥ threshold pairs (doc_id < dup_id) — the
     SemDeDup candidate structure: clusters partition the O(n²) search.
@@ -320,7 +501,18 @@ def semdedup_pairs(
     matmul per bucket — measured 371.8 s → 28.1 s on 572M candidates at
     1M×64-dim/k=1024, identical output), or 'auto' (arrow once
     k ≥ ARROW_ASSIGN_MIN_K, so the small-k catalog query keeps the
-    oracle-mirrored join plan)."""
+    oracle-mirrored join plan).
+
+    `tile_size` (arrow path only; None disables): a bucket whose pair
+    mass exceeds the per-core share of the stage's total work splits into
+    EXACT (ti ≤ tj) tile tasks (_pairs_arrow_tiled) so no single cluster
+    serializes the stage tail — unlike salting this loses no pairs; it
+    only re-partitions the same work.  Tiling is deliberately
+    parallelism-aware: the round-5 measurements showed blanket tiling is
+    a net LOSS when no bucket dominates (replicated-row shuffle >
+    straggler savings), while a degenerate cluster (post-salt sub-bucket
+    up to max_cluster_size² /2 pairs in ONE task) genuinely needs it.
+    tile_size floors the tile edge."""
     import math
     import warnings
 
@@ -337,6 +529,8 @@ def semdedup_pairs(
         pins,
     )
     sub = F.lit(0)
+    sizes: dict[int, int] | None = None
+    over: dict[int, int] = {}
     if max_cluster_size is not None or max_candidate_mass is not None:
         sizes = {
             r["cluster"]: r["n"]
@@ -400,6 +594,41 @@ def semdedup_pairs(
             "arrow" if len(centroids) >= ARROW_ASSIGN_MIN_K else "join"
         )
     if pair_method == "arrow":
+        if tile_size:
+            if sizes is None:
+                sizes = {
+                    r["cluster"]: r["n"]
+                    for r in assigned.groupBy("cluster")
+                    .agg(F.count(F.lit(1)).alias("n"))
+                    .collect()  # bounded by k rows
+                }
+            # tile ONLY true stragglers: a bucket whose pair mass exceeds
+            # the per-core share of the stage's total work would serialize
+            # the stage tail; anything smaller tiles at a loss (measured at
+            # k=256/1M: blanket tiling slowed pairs 27.8 → 34.2 s at 8
+            # cores — the replicated-row shuffle costs more than the tail
+            # it saves when no bucket dominates).  The tile edge is sized
+            # to the per-core share itself, floored at tile_size.
+            import math as _math
+
+            par = max(df.sparkSession.sparkContext.defaultParallelism, 1)
+            sub_sizes = {
+                c: n // max(over.get(c, 1), 1) for c, n in sizes.items()
+            }
+            total_mass = sum(
+                (n * n // 2) * max(over.get(c, 1), 1)
+                for c, n in sub_sizes.items()
+            )
+            share = total_mass / par
+            tile_eff = max(tile_size, int(_math.sqrt(2 * share)) or 1)
+            tiles = {
+                c: _math.ceil(n / tile_eff)
+                for c, n in sub_sizes.items()
+                if n * n / 2 > share and n > tile_eff
+            }
+            tiles = {c: nb for c, nb in tiles.items() if nb > 1}
+            if tiles:
+                return _pairs_arrow_tiled(assigned, threshold, tiles)
         return _pairs_arrow(assigned, threshold)
     if pair_method != "join":
         raise ValueError(f"unknown pair method {pair_method!r}")

@@ -191,16 +191,74 @@ def contamination_report(
     )
 
 
-def decontaminate(
+def contamination_stats(
     corpus: DataFrame,
     benchmark: DataFrame,
     n: int = 8,
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
+    """(id, n_shared, n_grams, contaminated_frac) for every corpus document
+    sharing ≥1 distinct word n-gram with the benchmark — the measured-overlap
+    refinement of contamination_report (GPT-3 appendix C reports the
+    *fraction* of a document's n-grams that collide, not just the hit bit;
+    PaLM/Llama decontamination thresholds on that fraction).
+
+    One corpus-gram pass, one shuffle: the benchmark grams broadcast with a
+    hit mark, and a single per-doc aggregate counts distinct total and
+    distinct shared grams together (no second pass for the denominator)."""
+    bench_grams = (
+        _exploded_ngrams(benchmark, n, text_col)
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    corpus_grams = _exploded_ngrams(corpus, n, text_col, id_col)
+    return (
+        corpus_grams.join(F.broadcast(bench_grams), "ngram", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count_distinct("ngram").alias("n_grams"),
+            F.count_distinct(
+                F.when(F.col("_hit").isNotNull(), F.col("ngram"))
+            ).alias("n_shared"),
+        )
+        .filter(F.col("n_shared") > 0)
+        .select(
+            id_col,
+            "n_shared",
+            "n_grams",
+            F.round(F.col("n_shared") / F.col("n_grams"), 4).alias(
+                "contaminated_frac"
+            ),
+        )
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_frac: float = 0.0,
+) -> DataFrame:
     """Remove contaminated documents: anti-join the corpus against the
-    contaminated-id set."""
-    hits = contamination_report(corpus, benchmark, n, id_col, text_col).select(id_col)
+    contaminated-id set.  With max_frac = 0 (default) ANY shared n-gram
+    disqualifies (the strict gate, and the cheap plan — no per-doc gram
+    denominator is computed).  With max_frac > 0, only documents whose
+    contaminated_frac EXCEEDS it are dropped — the fraction-threshold
+    policy large corpora actually run, where a stray idiom shared with one
+    benchmark question shouldn't discard an entire long document."""
+    if max_frac <= 0.0:
+        hits = contamination_report(corpus, benchmark, n, id_col, text_col).select(
+            id_col
+        )
+    else:
+        hits = (
+            contamination_stats(corpus, benchmark, n, id_col, text_col)
+            .filter(F.col("contaminated_frac") > max_frac)
+            .select(id_col)
+        )
     return corpus.join(hits, id_col, "left_anti")
 
 
@@ -358,4 +416,236 @@ def mix_sources(
         .withColumn("u", u)
         .filter(F.col("u") < F.col("rate"))
         .drop("u", "rate")
+    )
+
+
+def temperature_rates(
+    df: DataFrame,
+    alpha: float = 0.5,
+    frac: float = 0.5,
+    source_col: str = "source",
+) -> DataFrame:
+    """(source, rate) — per-source keep rates implementing temperature /
+    α-sampling (Lample & Conneau 2019 §3.1; the mT5 / XLM-R mixture rule):
+    a source holding share p of the corpus is sampled toward share
+    q ∝ p^α, flattening the head and boosting the tail as α → 0.  `frac`
+    is the overall corpus fraction to keep; each source's row-level keep
+    rate is min(1, q·N·frac / n_s), ROUNDed to 6 decimals — the
+    cross-engine determinism contract (the md5 uniform below is an exact
+    multiple of 1e-6, so equal-rounded rates decide identically anywhere).
+
+    One tiny groupBy (≤ #sources rows) then pure scalar math — at corpus
+    scale the count aggregate is the only pass, map-side combined."""
+    from pyspark.sql import Window
+
+    counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("n_s"))
+    w = Window.partitionBy()  # ≤ #sources rows: a single-partition window is fine
+    return (
+        counts.withColumn("p_a", F.pow(F.col("n_s"), F.lit(float(alpha))))
+        .withColumn(
+            "rate",
+            F.round(
+                F.least(
+                    F.lit(1.0),
+                    (F.col("p_a") / F.sum("p_a").over(w))
+                    * F.sum("n_s").over(w)
+                    * F.lit(float(frac))
+                    / F.col("n_s"),
+                ),
+                6,
+            ),
+        )
+        .select(source_col, "rate")
+    )
+
+
+def temperature_mix(
+    df: DataFrame,
+    alpha: float = 0.5,
+    frac: float = 0.5,
+    seed: int = 42,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Deterministic α-temperature downsampling: mix_sources with the rates
+    computed FROM the corpus's own source distribution instead of supplied
+    by hand.  Same md5-uniform keep test, same broadcast-dim plan shape —
+    the rates frame is ≤ #sources rows by construction."""
+    rates_df = temperature_rates(df, alpha, frac, source_col)
+    u = (
+        F.conv(
+            F.substring(F.md5(F.concat_ws(":", F.col(id_col), F.lit(seed))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % 1_000_000
+    ) / 1_000_000.0
+    return (
+        df.join(F.broadcast(rates_df), source_col)
+        .withColumn("u", u)
+        .filter(F.col("u") < F.col("rate"))
+        .drop("u", "rate")
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact substring (duplicate-span) dedup — Lee et al. 2021,
+# "Deduplicating Training Data Makes Language Models Better"
+# ---------------------------------------------------------------------------
+
+
+def _positioned_ngrams(df: DataFrame, n: int, text_col: str, id_col: str) -> DataFrame:
+    """(id, pos, gh) — 1-based word position + md5 of the word n-gram
+    starting there.  The md5 is taken BEFORE the shuffle so the global
+    frequency count moves 32-byte digests, not n-word strings (at n=50,
+    Lee et al.'s setting, the raw gram is ~300 bytes/row of shuffle);
+    collision probability at 128 bits is negligible against any corpus
+    size, and hashing the gram is exactly what the suffix-array
+    implementations do to their seed matches."""
+    base = df.select(id_col, _words(text_col).alias("_w"))
+    grams = F.when(
+        F.size("_w") >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size("_w") - (n - 1)),
+            lambda i: F.struct(
+                i.alias("pos"),
+                F.md5(F.concat_ws(" ", F.slice(F.col("_w"), i, n))).alias("gh"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<pos:int,gh:string>>"))
+    return base.select(
+        id_col, F.explode(grams).alias("_g")
+    ).select(id_col, F.col("_g.pos").alias("pos"), F.col("_g.gh").alias("gh"))
+
+
+def duplicate_spans(
+    df: DataFrame,
+    n: int = 8,
+    min_count: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Maximal duplicated word spans per document: every word n-gram whose
+    exact text occurs >= min_count times ANYWHERE in the corpus marks its
+    n words as duplicated, and overlapping-or-adjacent marks merge into
+    (id, span_start, span_end) — 1-based inclusive word indices.  This is
+    the MATCH structure of Lee et al. 2021's ExactSubstr dedup (suffix
+    arrays there, a distributed n-gram frequency join here: same
+    "duplicated substring" relation restricted to length-n seeds, which is
+    what their implementation seeds matches with too).
+
+    Scale shape: one explode (n-grams with position) + one hash-partition
+    window count over the md5 digest + one per-doc window merge.  No
+    joins; the frequency count is the only corpus-wide shuffle.  A
+    pathological gram shared by millions of docs skews its count
+    partition — the count needs no ordering, so AQE's skew handling
+    applies; positions stay (doc, pos)-granular throughout.
+
+    Interval merge is the standard running-max island trick: a span opens
+    where its start exceeds max(end)+1 over all earlier spans in the doc."""
+    from pyspark.sql import Window
+
+    grams = _positioned_ngrams(df, n, text_col, id_col)
+    cnt = grams.withColumn(
+        "c", F.count(F.lit(1)).over(Window.partitionBy("gh"))
+    )
+    dup = cnt.filter(F.col("c") >= min_count).select(
+        id_col, F.col("pos").alias("s"), (F.col("pos") + (n - 1)).alias("e")
+    )
+    w_prev = (
+        Window.partitionBy(id_col)
+        .orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = dup.withColumn(
+        "nf",
+        F.when(
+            F.col("s") > F.coalesce(F.max("e").over(w_prev), F.lit(-1)) + 1, 1
+        ).otherwise(0),
+    )
+    w_run = (
+        Window.partitionBy(id_col)
+        .orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    isl = flagged.withColumn("island", F.sum("nf").over(w_run))
+    return (
+        isl.groupBy(id_col, "island")
+        .agg(F.min("s").alias("span_start"), F.max("e").alias("span_end"))
+        .drop("island")
+    )
+
+
+def dup_span_stats(
+    df: DataFrame,
+    n: int = 8,
+    min_count: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document duplicated-span rollup over duplicate_spans:
+    (id, n_spans, dup_words, n_words, dup_frac) for documents with >= 1
+    duplicated span.  dup_frac is the usual removal-decision diagnostic
+    (Lee et al. drop or trim by duplicated fraction)."""
+    spans = duplicate_spans(df, n, min_count, id_col, text_col)
+    lens = df.select(id_col, F.size(_words(text_col)).alias("n_words"))
+    agg = spans.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum(F.col("span_end") - F.col("span_start") + 1).alias("dup_words"),
+    )
+    return agg.join(lens, id_col).select(
+        id_col,
+        "n_spans",
+        "dup_words",
+        "n_words",
+        F.round(
+            F.col("dup_words") / F.greatest(F.col("n_words"), F.lit(1)), 4
+        ).alias("dup_frac"),
+    )
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    n: int = 8,
+    min_count: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """df with `text_col` rewritten to the word sequence OUTSIDE every
+    duplicated span (Lee et al.'s ExactSubstr-cut), plus n_words_kept.
+    Documents that were entirely duplicated keep an empty string — the
+    row survives so downstream length filters make the drop decision
+    explicitly.
+
+    The rebuild collects each doc's surviving (idx, word) pairs into one
+    array — bounded by the document length, the same per-doc memory
+    contract every text operator here already has."""
+    spans = duplicate_spans(df, n, min_count, id_col, text_col)
+    cov = spans.select(
+        id_col,
+        F.explode(
+            F.sequence(F.col("span_start"), F.col("span_end"))
+        ).alias("idx"),
+    ).distinct()
+    words = (
+        df.select(id_col, F.posexplode(_words(text_col)).alias("idx0", "word"))
+        .select(id_col, (F.col("idx0") + 1).alias("idx"), "word")
+    )
+    kept = words.join(cov, [id_col, "idx"], "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_words_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("idx", "word"))),
+                lambda s: s["word"],
+            ),
+            " ",
+        ).alias("_clean"),
+    )
+    return (
+        df.drop(text_col)
+        .join(rebuilt, id_col, "left")
+        .withColumn(text_col, F.coalesce(F.col("_clean"), F.lit("")))
+        .withColumn("n_words_kept", F.coalesce("n_words_kept", F.lit(0)))
+        .drop("_clean")
     )

@@ -3,9 +3,11 @@ operators/corpus.py, operators/dedup.py, operators/graph.py and
 functions/{textanalysis,pii}.py composed into the pipeline a pretraining
 data job actually runs:
 
-    quality filter → repetition filter → PII scrub → exact dedup →
+    quality filter → [linear classifier cut, optional] →
+    repetition filter → PII scrub → exact dedup →
     MinHash-LSH near-dup clustering (keep one canonical doc per cluster) →
     [semantic near-dup over the aligned embeddings table, optional] →
+    [exact substring-span removal, optional] →
     benchmark decontamination → weighted source mixing → sequence packing
 
 Stage ordering is the cheap-to-expensive discipline: per-row JVM filters
@@ -118,8 +120,10 @@ def curate_corpus(
     sf_dir: str,
     *,
     quality_min: float = 0.5,
+    classifier_min: float | None = None,
     minhash_threshold: float = 0.8,
     semantic_threshold: float | None = None,
+    substring_n: int | None = None,
     decontam_n: int = 6,
     rates: dict[str, float] | None = None,
     budget: int = 256,
@@ -164,6 +168,15 @@ def curate_corpus(
     # 1-2: per-row quality + repetition filters (JVM expressions / one
     # tagged explode) — run FIRST so every later shuffle sees fewer rows
     quality = _p(obs(_quality_filter(corpus, quality_min), "quality"), pins)
+
+    # 1b (optional): model-based quality cut — the fastText-shape linear
+    # classifier (the GPT-3/CCNet pipeline's second quality gate after the
+    # heuristic one); semi-join keeps the full doc schema
+    if classifier_min is not None:
+        quality = obs(
+            textanalysis.filter_by_classifier(quality, threshold=classifier_min),
+            "classifier",
+        )
     repeated = obs(corpus_ops.filter_repetitive(quality), "repetition")
 
     # 3: PII scrub (counts kept as features, text redacted in place)
@@ -194,6 +207,22 @@ def curate_corpus(
                     ids_df=neardup_raw, pins=pins,
                 ),
                 "semantic_dedup",
+            ),
+            pins,
+        )
+
+    # 5c (optional): exact substring dedup — remove duplicated word spans
+    # that survive doc-level dedup (Lee et al. 2021's ExactSubstr-cut;
+    # doc-level near-dup drops COPIES, this trims shared BOILERPLATE).
+    # After the doc-level stages (fewer rows), before decontamination
+    # (the trimmed text is what must be benchmark-clean).
+    if substring_n is not None:
+        neardup = _p(
+            obs(
+                corpus_ops.remove_duplicate_spans(neardup, n=substring_n).drop(
+                    "n_words_kept"
+                ),
+                "substring_dedup",
             ),
             pins,
         )
@@ -238,8 +267,10 @@ def curate_corpus_staged(
     out_dir: str,
     *,
     quality_min: float = 0.5,
+    classifier_min: float | None = None,
     minhash_threshold: float = 0.8,
     semantic_threshold: float | None = None,
+    substring_n: int | None = None,
     decontam_n: int = 6,
     rates: dict[str, float] | None = None,
     budget: int = 256,
@@ -292,11 +323,19 @@ def curate_corpus_staged(
             input_partitions(spark)
         )
         quality = _quality_filter(corpus, quality_min)
+        if classifier_min is not None:
+            quality = textanalysis.filter_by_classifier(
+                quality, threshold=classifier_min
+            )
         return pii.scrub_pii(corpus_ops.filter_repetitive(quality))
 
     filtered = stage(
         "filtered",
-        {"quality_min": quality_min, "benchmark_source": benchmark_source},
+        {
+            "quality_min": quality_min,
+            "classifier_min": classifier_min,
+            "benchmark_source": benchmark_source,
+        },
         build_filtered,
     )
 
@@ -312,6 +351,12 @@ def curate_corpus_staged(
             out = _semantic_dedup(
                 spark, sf_dir, out, semantic_threshold, pins=stage_pins
             )
+        if substring_n is not None:
+            out = stage_pins.pin(
+                corpus_ops.remove_duplicate_spans(out, n=substring_n).drop(
+                    "n_words_kept"
+                )
+            )
         return out
 
     deduped = stage(
@@ -320,6 +365,7 @@ def curate_corpus_staged(
             "upstream": manifests["filtered"]["config_fingerprint"],
             "minhash_threshold": minhash_threshold,
             "semantic_threshold": semantic_threshold,
+            "substring_n": substring_n,
         },
         build_deduped,
     )

@@ -2386,6 +2386,219 @@ FROM mixed GROUP BY source
 
 
 # ---------------------------------------------------------------------------
+# round-5 additions: exact substring dedup (Lee et al. 2021) + linear
+# quality-classifier scoring (fastText/CCNet shape)
+# ---------------------------------------------------------------------------
+
+
+def _docs_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents, repartitioned for the single-file local layout (see
+    q_repetition_stats — at corpus scale the input splits provide this)."""
+    from .curation import input_partitions
+
+    return _read(spark, sf_dir, "documents").repartition(input_partitions(spark))
+
+
+def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplicate spans (operators/corpus.py
+    duplicate_spans / dup_span_stats): word 8-grams occurring >= 2 times
+    corpus-wide mark their words duplicated; overlapping marks merge into
+    maximal spans, rolled up per doc."""
+    from ..operators import corpus as corpus_ops
+
+    return corpus_ops.dup_span_stats(_docs_partitioned(spark, sf_dir), n=8)
+
+
+# CTE chain mirrors the operator stage-for-stage: positioned md5 8-grams →
+# window frequency count → dup marks → running-max island merge → rollup.
+SQL_DUP_SPANS = f"""
+WITH warr AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '{WORD_RE}'), x -> x <> '') AS w
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, i AS pos, md5(array_to_string(w[i:i+7], ' ')) AS gh
+  FROM warr, UNNEST(generate_series(1, len(w) - 7)) AS t(i)
+  WHERE len(w) >= 8
+),
+cnt AS (SELECT doc_id, pos, COUNT(*) OVER (PARTITION BY gh) AS c FROM grams),
+dup AS (SELECT doc_id, pos AS s, pos + 7 AS e FROM cnt WHERE c >= 2),
+flagged AS (
+  SELECT doc_id, s, e,
+         CASE WHEN s > COALESCE(MAX(e) OVER (PARTITION BY doc_id ORDER BY s
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
+              THEN 1 ELSE 0 END AS nf
+  FROM dup
+),
+isl AS (
+  SELECT doc_id, s, e,
+         SUM(nf) OVER (PARTITION BY doc_id ORDER BY s ROWS UNBOUNDED PRECEDING) AS island
+  FROM flagged
+),
+merged AS (
+  SELECT doc_id, island, MIN(s) AS span_start, MAX(e) AS span_end
+  FROM isl GROUP BY doc_id, island
+)
+SELECT m.doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+       CAST(SUM(span_end - span_start + 1) AS BIGINT) AS dup_words,
+       CAST(ANY_VALUE(len(w.w)) AS BIGINT) AS n_words,
+       ROUND(SUM(span_end - span_start + 1) * 1.0
+             / GREATEST(ANY_VALUE(len(w.w)), 1), 4) AS dup_frac
+FROM merged m JOIN warr w USING (doc_id)
+GROUP BY m.doc_id
+"""
+
+
+def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr-cut rebuild (operators/corpus.py remove_duplicate_spans):
+    every doc's text with duplicated spans removed — compared by md5 of the
+    rebuilt text so the hash gate checks the full rewritten corpus without
+    hauling text through the result set."""
+    from ..operators import corpus as corpus_ops
+
+    cleaned = corpus_ops.remove_duplicate_spans(
+        _docs_partitioned(spark, sf_dir), n=8
+    )
+    return cleaned.select(
+        "doc_id", "n_words_kept", F.md5("text").alias("clean_md5")
+    )
+
+
+SQL_SUBSTRING_DEDUP = f"""
+WITH warr AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '{WORD_RE}'), x -> x <> '') AS w
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, i AS pos, md5(array_to_string(w[i:i+7], ' ')) AS gh
+  FROM warr, UNNEST(generate_series(1, len(w) - 7)) AS t(i)
+  WHERE len(w) >= 8
+),
+cnt AS (SELECT doc_id, pos, COUNT(*) OVER (PARTITION BY gh) AS c FROM grams),
+dup AS (SELECT doc_id, pos AS s, pos + 7 AS e FROM cnt WHERE c >= 2),
+cov AS (SELECT DISTINCT doc_id, j AS idx FROM dup, UNNEST(generate_series(s, e)) AS t(j)),
+words AS (
+  SELECT doc_id, i AS idx, w[i] AS word
+  FROM warr, UNNEST(generate_series(1, len(w))) AS t(i)
+),
+kept AS (
+  SELECT wo.doc_id, wo.idx, wo.word
+  FROM words wo LEFT JOIN cov ON wo.doc_id = cov.doc_id AND wo.idx = cov.idx
+  WHERE cov.doc_id IS NULL
+),
+rebuilt AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words_kept,
+         md5(string_agg(word, ' ' ORDER BY idx)) AS clean_md5
+  FROM kept GROUP BY doc_id
+)
+SELECT d.doc_id, COALESCE(r.n_words_kept, 0) AS n_words_kept,
+       COALESCE(r.clean_md5, md5('')) AS clean_md5
+FROM documents d LEFT JOIN rebuilt r USING (doc_id)
+"""
+
+
+def q_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear quality-classifier scoring (functions/textanalysis.py
+    classifier_score): sigmoid(mean md5-uniform token weight) per doc —
+    the fastText-style quality cut, map-side with no model join."""
+    from ..functions import textanalysis
+
+    return textanalysis.classifier_score(_docs_partitioned(spark, sf_dir))
+
+
+SQL_CLASSIFIER_SCORE = f"""
+WITH toks AS (
+  SELECT doc_id, t AS token
+  FROM documents,
+       UNNEST(list_filter(string_split_regex(lower(text), '{WORD_RE}'), x -> x <> '')) AS u(t)
+),
+scored AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         AVG(((CAST(concat('0x', substr(md5('w:42:' || token), 1, 8)) AS BIGINT) % 1000000)
+             / 1000000.0) * 2 - 1) AS z
+  FROM toks GROUP BY doc_id
+)
+SELECT d.doc_id, COALESCE(s.n_tokens, 0) AS n_tokens,
+       ROUND(1.0 / (1.0 + exp(-(0.0 + COALESCE(s.z, 0.0)))), 4) AS score
+FROM documents d LEFT JOIN scored s USING (doc_id)
+"""
+
+
+def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """α-temperature source sampling (operators/corpus.py temperature_mix,
+    Lample & Conneau 2019): rates derived from the corpus's own source
+    shares at α=0.5, overall keep fraction 0.5; per-source kept rollup
+    (mirrors the mix_sources result shape)."""
+    from ..operators import corpus as corpus_ops
+
+    docs = _read(spark, sf_dir, "documents")
+    mixed = corpus_ops.temperature_mix(docs, alpha=0.5, frac=0.5)
+    return mixed.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("n_chars").alias("sum_chars"),
+    )
+
+
+SQL_TEMPERATURE_MIX = """
+WITH counts AS (SELECT source, COUNT(*) AS n_s FROM documents GROUP BY source),
+rates AS (
+  SELECT source,
+         ROUND(LEAST(1.0,
+               (power(n_s, 0.5) / SUM(power(n_s, 0.5)) OVER ())
+               * SUM(n_s) OVER () * 0.5 / n_s), 6) AS rate
+  FROM counts
+),
+mixed AS (
+  SELECT d.source, d.n_chars
+  FROM documents d JOIN rates r USING (source)
+  WHERE (CAST(concat('0x', substr(md5(d.doc_id || ':42'), 1, 8)) AS BIGINT) % 1000000)
+        / 1000000.0 < r.rate
+)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_kept, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM mixed GROUP BY source
+"""
+
+
+def q_contamination_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured benchmark-overlap fractions (operators/corpus.py
+    contamination_stats): src0 documents stand in as the benchmark (same
+    split as the decontaminate query, word 6-grams); per contaminated doc
+    the distinct-gram numerator/denominator and the GPT-3-style fraction."""
+    from ..operators import corpus as corpus_ops
+
+    docs = _read(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("source") == "src0")
+    corpus = docs.filter(F.col("source") != "src0")
+    return corpus_ops.contamination_stats(corpus, bench, n=6)
+
+
+SQL_CONTAMINATION_STATS = f"""
+WITH warr AS (
+  SELECT doc_id, source,
+         list_filter(string_split_regex(lower(text), '{WORD_RE}'), x -> x <> '') AS w
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, source, array_to_string(w[i:i+5], ' ') AS ngram
+  FROM warr, UNNEST(generate_series(1, len(w) - 5)) AS t(i)
+  WHERE len(w) >= 6
+),
+bench AS (SELECT DISTINCT ngram FROM grams WHERE source = 'src0'),
+agg AS (
+  SELECT c.doc_id,
+         CAST(COUNT(DISTINCT c.ngram) AS BIGINT) AS n_grams,
+         CAST(COUNT(DISTINCT CASE WHEN b.ngram IS NOT NULL THEN c.ngram END) AS BIGINT) AS n_shared
+  FROM grams c LEFT JOIN bench b USING (ngram)
+  WHERE c.source <> 'src0'
+  GROUP BY c.doc_id
+)
+SELECT doc_id, n_shared, n_grams,
+       ROUND(n_shared * 1.0 / n_grams, 4) AS contaminated_frac
+FROM agg WHERE n_shared > 0
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -2395,6 +2608,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # CORRECTNESS row yet go FIRST.  Long-green core queries (3-4
     # consecutive green rounds each through r4) rotate to the tail and
     # come back in later rounds.  New queries are added at the FRONT.
+    "temperature_mix": q_temperature_mix,
+    "contamination_stats": q_contamination_stats,
+    "dup_spans": q_dup_spans,
+    "substring_dedup": q_substring_dedup,
+    "classifier_score": q_classifier_score,
     "hashing_vectorize": q_hashing_vectorize,
     "repetition_stats": q_repetition_stats,
     "decontaminate": q_decontaminate,
@@ -2467,6 +2685,11 @@ ORACLES: dict[str, str] = {
     # rotated to mirror QUERIES order (driver-unchecked entries first);
     # curation_pipeline is rows-only by design (composite, stages
     # individually oracled below).
+    "temperature_mix": SQL_TEMPERATURE_MIX,
+    "contamination_stats": SQL_CONTAMINATION_STATS,
+    "dup_spans": SQL_DUP_SPANS,
+    "substring_dedup": SQL_SUBSTRING_DEDUP,
+    "classifier_score": SQL_CLASSIFIER_SCORE,
     "hashing_vectorize": SQL_HASHING_VECTORIZE,
     "repetition_stats": SQL_REPETITION_STATS,
     "decontaminate": SQL_DECONTAMINATE,

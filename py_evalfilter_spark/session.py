@@ -62,6 +62,15 @@ def get_spark(
         # scripts/submit_job.py does exactly that)
         repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
         builder = builder.config("spark.executorEnv.PYTHONPATH", repo_root)
+        # one BLAS thread per Python worker: task slots are the unit of
+        # parallelism, and un-pinned OpenBLAS threads make an n-core
+        # executor silently use 2n cores in Arrow matmul stages — which
+        # both oversubscribes a real node and inflates the small-N side of
+        # any core-scaling measurement (measured: the semantic-family N→4N
+        # efficiency read 0.55 un-pinned, because the 2-core level was
+        # really running on ~4)
+        for var in ("OPENBLAS_NUM_THREADS", "OMP_NUM_THREADS", "MKL_NUM_THREADS"):
+            builder = builder.config(f"spark.executorEnv.{var}", "1")
         # each executor JVM must size its GC/JIT/netty pools for ITS cores,
         # not the whole box — exactly what a real cluster node would see
         try:

@@ -51,14 +51,18 @@ emb = spark.read.parquet({src!r})
 n_vecs = emb.count()
 t0 = time.perf_counter()
 cents = clustering.kmeans_fit(emb, k={k}, iters=2, seed=42)
+t1 = time.perf_counter()
 with PinScope() as pins:
     pairs = clustering.semdedup_pairs(
         emb, cents, threshold=0.999, pins=pins, max_candidate_mass=2 * 10**10
     )
     # count() is honest here: the cosine filter consumes the pair values
     n_pairs = pairs.count()
-wall = time.perf_counter() - t0
+t2 = time.perf_counter()
+wall = t2 - t0
 print(json.dumps({{"n_vecs": n_vecs, "n_pairs": n_pairs,
+                   "fit_sec": round(t1 - t0, 2),
+                   "pairs_sec": round(t2 - t1, 2),
                    "wall_sec": round(wall, 2),
                    "vecs_per_sec": round(n_vecs / wall, 1)}}))
 """
@@ -71,6 +75,12 @@ def run_level(master: str, cores: int, src: str, local_dirs: str, k: int) -> dic
         SPARK_GRAFT_EXECUTOR_MEMORY="20g",
         SPARK_LOCAL_DIRS=local_dirs,
         SPARK_DRIVER_MEMORY="8g",
+        # pin driver-side numpy too (executors are pinned by get_spark's
+        # executorEnv): un-pinned BLAS threads let the 2-core level use ~4
+        # cores in the matmul stages and corrupt the efficiency ratio
+        OPENBLAS_NUM_THREADS="1",
+        OMP_NUM_THREADS="1",
+        MKL_NUM_THREADS="1",
     )
     code = RUNNER.format(repo=REPO, src=src, parts=4 * cores, k=k)
     out = subprocess.run(

@@ -707,3 +707,219 @@ class TestDsir:
             assert "TakeOrderedAndProject" not in plan, plan
             assert "Sort" not in plan, plan
             assert out.count() == 40
+
+
+class TestSubstringDedup:
+    """Exact substring (duplicate-span) dedup — Lee et al. 2021 shape:
+    corpus-wide n-gram marks, interval merge, span removal."""
+
+    def _docs(self, spark):
+        # docs 1 and 2 share the 8-word phrase "one two three four five six
+        # seven eight" (positions 3-10 in doc 1, 1-8 in doc 2); doc 3 is
+        # clean; doc 4 repeats an 8-gram INSIDE itself (positions 1-8 and
+        # 9-16 -> overlapping-or-adjacent marks merge to one 1-16 span)
+        shared = "one two three four five six seven eight"
+        return spark.createDataFrame(
+            [
+                (1, "pad pad " + shared + " tail tail"),
+                (2, shared + " different ending here"),
+                (3, "a clean document with no repeated phrases at all ok"),
+                (4, shared + " " + shared),
+            ],
+            "doc_id long, text string",
+        )
+
+    def test_span_bounds_and_merge(self, spark):
+        spans = {
+            r["doc_id"]: (r["span_start"], r["span_end"])
+            for r in corpus_ops.duplicate_spans(self._docs(spark), n=8).collect()
+        }
+        assert spans[1] == (3, 10)
+        assert spans[2] == (1, 8)
+        assert 3 not in spans
+        # doc 4: every 8-gram window of the repeated phrase matches doc 1/2
+        # or its own copy; marks chain into ONE merged span covering all 16
+        assert spans[4] == (1, 16)
+
+    def test_stats_rollup(self, spark):
+        stats = {
+            r["doc_id"]: r
+            for r in corpus_ops.dup_span_stats(self._docs(spark), n=8).collect()
+        }
+        assert stats[1]["n_spans"] == 1
+        assert stats[1]["dup_words"] == 8
+        assert stats[1]["n_words"] == 12
+        assert abs(stats[1]["dup_frac"] - round(8 / 12, 4)) < 1e-9
+        assert stats[4]["dup_frac"] == 1.0
+        assert 3 not in stats
+
+    def test_removal_rebuild(self, spark):
+        cleaned = {
+            r["doc_id"]: r
+            for r in corpus_ops.remove_duplicate_spans(
+                self._docs(spark), n=8
+            ).collect()
+        }
+        assert cleaned[1]["text"] == "pad pad tail tail"
+        assert cleaned[1]["n_words_kept"] == 4
+        assert cleaned[2]["text"] == "different ending here"
+        # untouched doc keeps its full (tokenized) word sequence
+        assert cleaned[3]["n_words_kept"] == 10
+        # fully-duplicated doc survives as an explicit empty row
+        assert cleaned[4]["text"] == ""
+        assert cleaned[4]["n_words_kept"] == 0
+        # non-text columns survive the rewrite
+        assert set(cleaned[1].asDict()) == {"doc_id", "text", "n_words_kept"}
+
+    def test_no_corpus_wide_join_in_span_plan(self, spark):
+        """The frequency count is a window over the gram hash — the plan
+        must contain no join (the scale contract: one explode + two
+        window exchanges, nothing corpus x corpus)."""
+        plan = _plan(corpus_ops.duplicate_spans(self._docs(spark), n=8))
+        assert "Join" not in plan
+
+
+class TestClassifierScore:
+    def test_explicit_weights_match_hand_computation(self, spark):
+        import math
+
+        from py_evalfilter_spark.functions import textanalysis
+
+        docs = spark.createDataFrame(
+            [(1, "good good bad"), (2, "unknown tokens only"), (3, "")],
+            "doc_id long, text string",
+        )
+        w = spark.createDataFrame(
+            [("good", 2.0), ("bad", -1.0)], "term string, weight double"
+        )
+        got = {
+            r["doc_id"]: r
+            for r in textanalysis.classifier_score(
+                docs, weights=w, bias=0.5
+            ).collect()
+        }
+        z1 = 0.5 + (2.0 + 2.0 - 1.0) / 3
+        assert abs(got[1]["score"] - round(1 / (1 + math.exp(-z1)), 4)) < 1e-9
+        assert got[1]["n_tokens"] == 3
+        # OOV-only doc: mean weight 0 -> sigmoid(bias)
+        assert got[2]["score"] == round(1 / (1 + math.exp(-0.5)), 4)
+        # zero-token doc keeps its row (the unigram-LM lesson)
+        assert got[3]["n_tokens"] == 0
+        assert got[3]["score"] == round(1 / (1 + math.exp(-0.5)), 4)
+
+    def test_md5_path_deterministic_and_filter_keeps_schema(self, spark):
+        from py_evalfilter_spark.functions import textanalysis
+
+        docs = spark.createDataFrame(
+            [(i, f"tok{i} tok{i+1} tok{i+2} common words here") for i in range(20)],
+            "doc_id long, text string",
+        )
+        a = sorted(map(tuple, textanalysis.classifier_score(docs).collect()))
+        b = sorted(map(tuple, textanalysis.classifier_score(docs).collect()))
+        assert a == b
+        scores = [r[2] for r in a]
+        assert all(0.0 <= s <= 1.0 for s in scores)
+        kept = textanalysis.filter_by_classifier(docs, threshold=0.5)
+        assert kept.columns == docs.columns
+        n_above = sum(1 for s in scores if s >= 0.5)
+        assert kept.count() == n_above
+
+
+class TestTemperatureMix:
+    def test_rates_match_numpy(self, spark):
+        # 3 sources with shares 100/30/10; alpha=0.5, frac=0.5
+        rows = (
+            [(i, "x", "big") for i in range(100)]
+            + [(i + 100, "x", "mid") for i in range(30)]
+            + [(i + 130, "x", "small") for i in range(10)]
+        )
+        docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+        got = {
+            r["source"]: r["rate"]
+            for r in corpus_ops.temperature_rates(docs, alpha=0.5, frac=0.5).collect()
+        }
+        import numpy as np
+
+        n = np.array([100.0, 30.0, 10.0])
+        q = np.sqrt(n) / np.sqrt(n).sum()
+        exp = np.minimum(1.0, q * n.sum() * 0.5 / n).round(6)
+        for src, e in zip(["big", "mid", "small"], exp):
+            assert abs(got[src] - e) < 1e-9, (src, got[src], e)
+        # alpha flattens: the tail source keeps a HIGHER fraction than the head
+        assert got["small"] > got["big"]
+
+    def test_alpha_one_is_uniform_frac(self, spark):
+        rows = [(i, "x", "a" if i % 3 else "b") for i in range(60)]
+        docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+        rates = corpus_ops.temperature_rates(docs, alpha=1.0, frac=0.25).collect()
+        assert all(abs(r["rate"] - 0.25) < 1e-9 for r in rates)
+
+    def test_mix_equals_mix_sources_with_computed_rates(self, spark):
+        rows = [(i, "x", f"src{i % 4}") for i in range(200)]
+        docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+        rates = {
+            r["source"]: r["rate"]
+            for r in corpus_ops.temperature_rates(docs, alpha=0.3, frac=0.6).collect()
+        }
+        via_mix = sorted(
+            r["doc_id"]
+            for r in corpus_ops.mix_sources(docs, rates, seed=7).collect()
+        )
+        direct = sorted(
+            r["doc_id"]
+            for r in corpus_ops.temperature_mix(
+                docs, alpha=0.3, frac=0.6, seed=7
+            ).collect()
+        )
+        assert via_mix == direct and 0 < len(direct) < 200
+
+
+class TestContaminationStats:
+    def test_fraction_hand_computed(self, spark):
+        bench = spark.createDataFrame(
+            [(100, "alpha beta gamma delta")], "doc_id long, text string"
+        )
+        corpus = spark.createDataFrame(
+            [
+                # doc 1: grams {alpha beta, beta gamma, gamma delta, delta zz}
+                # shared: first 3 of 4 -> frac 0.75
+                (1, "alpha beta gamma delta zz"),
+                # doc 2: one shared gram of 3 distinct -> frac 0.3333
+                (2, "alpha beta qq rr"),
+                (3, "totally clean words only"),
+            ],
+            "doc_id long, text string",
+        )
+        got = {
+            r["doc_id"]: r
+            for r in corpus_ops.contamination_stats(corpus, bench, n=2).collect()
+        }
+        assert set(got) == {1, 2}
+        assert got[1]["n_shared"] == 3 and got[1]["n_grams"] == 4
+        assert abs(got[1]["contaminated_frac"] - 0.75) < 1e-9
+        assert got[2]["n_shared"] == 1 and got[2]["n_grams"] == 3
+        assert abs(got[2]["contaminated_frac"] - 0.3333) < 1e-9
+
+    def test_decontaminate_max_frac_policy(self, spark):
+        bench = spark.createDataFrame(
+            [(100, "alpha beta gamma delta")], "doc_id long, text string"
+        )
+        corpus = spark.createDataFrame(
+            [(1, "alpha beta gamma delta zz"), (2, "alpha beta qq rr"),
+             (3, "totally clean words only")],
+            "doc_id long, text string",
+        )
+        strict = corpus_ops.decontaminate(corpus, bench, n=2)
+        assert sorted(r["doc_id"] for r in strict.collect()) == [3]
+        lax = corpus_ops.decontaminate(corpus, bench, n=2, max_frac=0.5)
+        assert sorted(r["doc_id"] for r in lax.collect()) == [2, 3]
+
+    def test_benchmark_side_broadcasts(self, spark):
+        bench = spark.createDataFrame(
+            [(100, "alpha beta gamma delta")], "doc_id long, text string"
+        )
+        corpus = spark.createDataFrame(
+            [(1, "alpha beta gamma delta zz")], "doc_id long, text string"
+        )
+        plan = _plan(corpus_ops.contamination_stats(corpus, bench, n=2))
+        assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan

@@ -161,3 +161,43 @@ class TestStagedCuration:
         assert m2["filtered"]["resumed"]
         assert not m2["deduped"]["resumed"]
         assert not m2["packed"]["resumed"]
+
+
+class TestExtendedStages:
+    def test_staged_equals_in_memory_with_classifier_and_substring(
+        self, spark, tmp_path
+    ):
+        """The r5 optional stages (classifier cut, exact-substring removal)
+        must produce the identical corpus through both execution modes —
+        including the REWRITTEN text, which doc_id equality alone would
+        not check."""
+        kw = dict(budget=256, classifier_min=0.4, substring_n=8)
+        out = str(tmp_path / "curated_ext")
+        packed, m = curation.curate_corpus_staged(spark, SF, out, **kw)
+        staged = sorted(
+            (r["doc_id"], r["text"]) for r in packed.select("doc_id", "text").collect()
+        )
+        mem = sorted(
+            (r["doc_id"], r["text"])
+            for r in curation.curate_corpus(spark, SF, **kw)
+            .select("doc_id", "text")
+            .collect()
+        )
+        assert staged == mem and len(staged) > 0
+
+    def test_classifier_stage_only_shrinks(self, spark):
+        base = curation.curate_corpus(spark, SF, budget=256).count()
+        cut = curation.curate_corpus(
+            spark, SF, budget=256, classifier_min=0.52
+        ).count()
+        assert 0 < cut < base
+
+    def test_substring_stage_invalidates_downstream(self, spark, tmp_path):
+        out = str(tmp_path / "curated_sub")
+        curation.curate_corpus_staged(spark, SF, out, budget=256)
+        _, m2 = curation.curate_corpus_staged(
+            spark, SF, out, budget=256, substring_n=8
+        )
+        assert m2["filtered"]["resumed"]
+        assert not m2["deduped"]["resumed"]
+        assert not m2["packed"]["resumed"]

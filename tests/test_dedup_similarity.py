@@ -639,6 +639,27 @@ class TestClustering:
         assert len(got["join"]) > 0
         assert got["join"] == got["arrow"]
 
+    def test_semdedup_pairs_tiled_parity(self, spark):
+        """Tile-parallel pairs (per-bucket work split into exact ti<=tj
+        block tasks) must emit the identical pair SET as the untiled
+        arrow path — tiling re-partitions the work, it must not change
+        it.  tile_size=16 over ~125-row clusters forces nb ~ 8 blocks."""
+        from py_evalfilter_spark.operators import clustering
+
+        emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+        cents = clustering.kmeans_fit(emb, k=4, iters=2, seed=42)
+        got = {}
+        for ts in (None, 16):
+            got[ts] = sorted(
+                map(tuple,
+                    clustering.semdedup_pairs(
+                        emb, cents, threshold=0.2,
+                        pair_method="arrow", tile_size=ts,
+                    ).collect())
+            )
+        assert len(got[None]) > 0
+        assert got[None] == got[16]
+
     def test_semdedup_candidate_mass_guard_raises_upfront(self, spark):
         """Round-5 scale lesson: ORDINARY cluster sizes go quadratic long
         before any cluster is 'giant' (k=64 over 1M docs ⇒ 15.6G

@@ -140,6 +140,23 @@ class TestBenchedQueryPlans:
         # the ignore-nulls last() struct fill is the as-of operator itself
         assert "Window" in plan and "last(" in plan
 
+    def test_dup_spans_is_window_counted_not_joined(self, spark):
+        """The corpus-wide 8-gram frequency must be a window count over the
+        gram hash (one hash-partition exchange), not a groupBy+join back —
+        and the benched frame must keep the interval-merge windows."""
+        plan = self._benched(spark, "dup_spans")
+        assert "Window" in plan
+        # the only join allowed is the final doc-level stats join (on the
+        # id), never a gram-keyed corpus join ("gh#NNN" is the column-ref
+        # form; a bare "gh" also matches BuildRight and fires falsely)
+        assert "gh#" not in plan.split("Join", 1)[-1].split("\n")[0]
+
+    def test_classifier_score_stays_jvm_side(self, spark):
+        """The md5-weight path is pure column expressions: no Python in
+        the plan at all (the map-side no-model-join contract)."""
+        plan = self._benched(spark, "classifier_score")
+        assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
     def test_dedup_fuzzy_rebalances_before_levenshtein(self, spark):
         """The O(len^2) Levenshtein must run AFTER a round-robin Exchange,
         not inside the source-partitioned window stage whose parallelism is
