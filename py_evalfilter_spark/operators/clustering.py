@@ -276,6 +276,21 @@ def assign_clusters(
     return df.join(out, id_col)
 
 
+def _sim_hits(S: "np.ndarray", threshold: float):
+    """(rows, cols, rounded_vals) with round(S,4) >= threshold, WITHOUT
+    rounding the full similarity block: a value below threshold−1e-4
+    cannot round up to threshold (4-dp rounding moves a value by at most
+    5e-5 + ulp), so the raw-value prefilter is exact-equivalent and the
+    round(…,4) parity contract runs only on the hits.  Measured: at a
+    candidate mass of ~3G the full-matrix np.round pass was a material
+    slice of the pairs stage wall — the threshold scan itself (one
+    comparison per candidate) is the irreducible part."""
+    rr, cc = np.nonzero(S >= threshold - 1e-4)
+    vals = np.round(S[rr, cc], 4)
+    keep = vals >= threshold
+    return rr[keep], cc[keep], vals[keep]
+
+
 def _pairs_arrow(assigned: DataFrame, threshold: float) -> DataFrame:
     """Within-(cluster, sub) cosine≥threshold pairs via grouped
     applyInPandas: each bucket's all-pairs is one BLAS matmul instead of
@@ -307,16 +322,14 @@ def _pairs_arrow(assigned: DataFrame, threshold: float) -> DataFrame:
         with np.errstate(divide="ignore", invalid="ignore"):
             for i0 in range(0, n - 1, block):
                 i1 = min(i0 + block, n)
-                S = np.round(
-                    (X[i0:i1] @ X.T) / np.outer(norms[i0:i1], norms), 4
-                )
-                rr, cc = np.nonzero(S >= threshold)  # nan → False, like JVM null
+                S = (X[i0:i1] @ X.T) / np.outer(norms[i0:i1], norms)
+                rr, cc, vals = _sim_hits(S, threshold)  # nan → False, like JVM null
                 keep = cc > rr + i0  # strict upper triangle: doc_id < dup_id
-                rr, cc = rr[keep], cc[keep]
+                rr, cc, vals = rr[keep], cc[keep], vals[keep]
                 if len(rr):
                     out_a.append(ids[rr + i0])
                     out_b.append(ids[cc])
-                    out_s.append(S[rr, cc])
+                    out_s.append(vals)
         if not out_a:
             return empty
         return pd.DataFrame(
@@ -398,16 +411,14 @@ def _pairs_arrow_tiled(
                 out_a, out_b, out_s = [], [], []
                 for i0 in range(0, n - 1, block):
                     i1 = min(i0 + block, n)
-                    S = np.round(
-                        (X[i0:i1] @ X.T) / np.outer(norms[i0:i1], norms), 4
-                    )
-                    rr, cc = np.nonzero(S >= threshold)
+                    S = (X[i0:i1] @ X.T) / np.outer(norms[i0:i1], norms)
+                    rr, cc, vals = _sim_hits(S, threshold)
                     keep = cc > rr + i0
-                    rr, cc = rr[keep], cc[keep]
+                    rr, cc, vals = rr[keep], cc[keep], vals[keep]
                     if len(rr):
                         out_a.append(ids[rr + i0])
                         out_b.append(ids[cc])
-                        out_s.append(S[rr, cc])
+                        out_s.append(vals)
                 if not out_a:
                     return empty
                 return pd.DataFrame(
@@ -430,15 +441,13 @@ def _pairs_arrow_tiled(
             out_a, out_b, out_s = [], [], []
             for i0 in range(0, len(a), block):
                 i1 = min(i0 + block, len(a))
-                S = np.round(
-                    (XA[i0:i1] @ XB.T) / np.outer(na[i0:i1], nb_), 4
-                )
-                rr, cc = np.nonzero(S >= threshold)
+                S = (XA[i0:i1] @ XB.T) / np.outer(na[i0:i1], nb_)
+                rr, cc, vals = _sim_hits(S, threshold)
                 if len(rr):
                     x, y = ia[rr + i0], ib[cc]
                     out_a.append(np.minimum(x, y))
                     out_b.append(np.maximum(x, y))
-                    out_s.append(S[rr, cc])
+                    out_s.append(vals)
             if not out_a:
                 return empty
             return pd.DataFrame(
@@ -520,12 +529,18 @@ def semdedup_pairs(
 
     from .similarity import cosine_expr
 
+    # assign WITHOUT assign_clusters' full-schema reattach join: the pairs
+    # stage only needs (id, vec, cluster), and the id-join shuffles the
+    # whole vector payload on BOTH sides just to recover columns that are
+    # dropped again — measured as a material slice of the pairs wall at
+    # 1M×64-dim (the N→4N scaling run's quasi-fixed disk-bound component).
+    # _assign keeps vec through the map, so this is join-free end to end.
+    d = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.transform(vec_col, lambda x: x.cast("double")).alias("vec"),
+    )
     assigned = _pin(
-        assign_clusters(df, centroids, vec_col, id_col).select(
-            F.col(id_col).alias("doc_id"),
-            F.transform(vec_col, lambda x: x.cast("double")).alias("vec"),
-            "cluster",
-        ),
+        _assign(d, centroids, "doc_id").select("doc_id", "vec", "cluster"),
         pins,
     )
     sub = F.lit(0)
