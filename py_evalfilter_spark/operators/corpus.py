@@ -419,6 +419,50 @@ def mix_sources(
     )
 
 
+def upsample_sources(
+    df: DataFrame,
+    rates: dict[str, float],
+    seed: int = 42,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    rep_col: str = "rep",
+) -> DataFrame:
+    """mix_sources generalized to rates ABOVE 1 — the multi-epoch mixture
+    table (LLaMA samples Wikipedia ~2.4 epochs while CommonCrawl gets
+    <1): a rate of 2.3 keeps floor = 2 copies of every row plus a third
+    iff u(id, seed) < 0.3, so expected copies = rate exactly and the
+    realized sample is deterministic per id.  Adds `rep_col` (0-based
+    copy index) so downstream packing/dedup see distinct rows; rate < 1
+    degenerates to exactly mix_sources' keep test (floor 0 + the
+    fractional draw).
+
+    Plan shape: broadcast rates dim + a guarded sequence explode — pure
+    map-side; output size is Σ n_s·rate_s by construction, so the explode
+    amplification is the operator's contract, not a hazard."""
+    spark = df.sparkSession
+    rates_df = spark.createDataFrame(
+        sorted(rates.items()), f"{source_col} string, rate double"
+    )
+    u = (
+        F.conv(
+            F.substring(F.md5(F.concat_ws(":", F.col(id_col), F.lit(seed))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % 1_000_000
+    ) / 1_000_000.0
+    n_copies = (
+        F.floor("rate") + F.when(u < F.col("rate") - F.floor("rate"), 1).otherwise(0)
+    ).cast("int")
+    return (
+        df.join(F.broadcast(rates_df), source_col)
+        .withColumn("_nc", n_copies)
+        .filter(F.col("_nc") >= 1)  # sequence(0, -1) DESCENDS — guard first
+        .withColumn(rep_col, F.explode(F.sequence(F.lit(0), F.col("_nc") - 1)))
+        .drop("rate", "_nc")
+    )
+
+
 def temperature_rates(
     df: DataFrame,
     alpha: float = 0.5,

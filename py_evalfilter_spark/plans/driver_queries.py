@@ -2559,6 +2559,49 @@ FROM mixed GROUP BY source
 """
 
 
+def q_upsample_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-epoch source weighting (operators/corpus.py upsample_sources):
+    src1 at 2.5 epochs, src2 at 1.0, src4 at 0.25; per-source rollup of
+    emitted rows, distinct docs, and copy-index mass (consumes rep so the
+    explode can't be pruned)."""
+    from ..operators import corpus as corpus_ops
+
+    docs = _read(spark, sf_dir, "documents")
+    up = corpus_ops.upsample_sources(
+        docs, {"src1": 2.5, "src2": 1.0, "src4": 0.25}
+    )
+    return up.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_distinct("doc_id").alias("n_docs"),
+        F.sum("rep").alias("sum_rep"),
+        F.sum("n_chars").alias("sum_chars"),
+    )
+
+
+SQL_UPSAMPLE_SOURCES = """
+WITH rates(source, rate) AS (
+  VALUES ('src1', 2.5), ('src2', 1.0), ('src4', 0.25)
+),
+drawn AS (
+  SELECT d.doc_id, d.source, d.n_chars,
+         (CAST(FLOOR(r.rate) AS INT) +
+          CASE WHEN (CAST(concat('0x', substr(md5(d.doc_id || ':42'), 1, 8)) AS BIGINT) % 1000000)
+                    / 1000000.0 < r.rate - FLOOR(r.rate) THEN 1 ELSE 0 END) AS nc
+  FROM documents d JOIN rates r USING (source)
+),
+up AS (
+  SELECT doc_id, source, n_chars, rep
+  FROM drawn, UNNEST(generate_series(0, nc - 1)) AS t(rep)
+  WHERE nc >= 1
+)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(SUM(rep) AS BIGINT) AS sum_rep,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM up GROUP BY source
+"""
+
+
 def q_contamination_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Measured benchmark-overlap fractions (operators/corpus.py
     contamination_stats): src0 documents stand in as the benchmark (same
@@ -2608,6 +2651,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # CORRECTNESS row yet go FIRST.  Long-green core queries (3-4
     # consecutive green rounds each through r4) rotate to the tail and
     # come back in later rounds.  New queries are added at the FRONT.
+    "upsample_sources": q_upsample_sources,
     "temperature_mix": q_temperature_mix,
     "contamination_stats": q_contamination_stats,
     "dup_spans": q_dup_spans,
@@ -2685,6 +2729,7 @@ ORACLES: dict[str, str] = {
     # rotated to mirror QUERIES order (driver-unchecked entries first);
     # curation_pipeline is rows-only by design (composite, stages
     # individually oracled below).
+    "upsample_sources": SQL_UPSAMPLE_SOURCES,
     "temperature_mix": SQL_TEMPERATURE_MIX,
     "contamination_stats": SQL_CONTAMINATION_STATS,
     "dup_spans": SQL_DUP_SPANS,

@@ -146,6 +146,22 @@ def main() -> None:
         "to compressed parquet, stage pins release, upstream lineage (and "
         "its shuffle files) becomes collectable between stages.",
     )
+    ap.add_argument(
+        "--classifier-min",
+        type=float,
+        default=None,
+        help="enable the optional linear-classifier quality stage at this "
+        "threshold (r5 stage; map-side md5-uniform weights — adds one "
+        "explode + one per-doc aggregate to 'filtered')",
+    )
+    ap.add_argument(
+        "--substring-n",
+        type=int,
+        default=None,
+        help="enable the optional exact-substring span-removal stage at this "
+        "word-n-gram length (r5 stage; corpus-wide gram frequency window + "
+        "per-doc rebuild — the heaviest new stage, scale-proved here)",
+    )
     args = ap.parse_args()
 
     # Memory discipline for the 10M-doc run, learned from an OOM-killed
@@ -185,7 +201,8 @@ def main() -> None:
         # run_stage, so nothing is prunable; the final re-read count is a
         # trivial footer scan
         packed, manifests = curation.curate_corpus_staged(
-            spark, work, f"{work}/stages", budget=256
+            spark, work, f"{work}/stages", budget=256,
+            classifier_min=args.classifier_min, substring_n=args.substring_n,
         )
         n_packed = packed.count()
         counts = {name: m.get("rows") for name, m in manifests.items()}
@@ -193,7 +210,8 @@ def main() -> None:
         obs: dict = {}
         with PinScope() as pins:
             out = curation.curate_corpus(
-                spark, work, budget=256, observations=obs, pins=pins
+                spark, work, budget=256, observations=obs, pins=pins,
+                classifier_min=args.classifier_min, substring_n=args.substring_n,
             )
             n_packed = int(out.selectExpr(*CONSUME_PACKED).collect()[0]["n"])
             counts = {k: int(o.get["rows"]) for k, o in obs.items()}
@@ -205,6 +223,8 @@ def main() -> None:
             {
                 "metric": "curation_10M_docs",
                 "mode": "staged" if args.staged else "in_memory",
+                "classifier_min": args.classifier_min,
+                "substring_n": args.substring_n,
                 "mult": args.mult,
                 "n_base": n_base,
                 "n_docs": n_total,

@@ -923,3 +923,58 @@ class TestContaminationStats:
         )
         plan = _plan(corpus_ops.contamination_stats(corpus, bench, n=2))
         assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+class TestUpsampleSources:
+    def test_integer_rate_gives_exact_copies(self, spark):
+        docs = spark.createDataFrame(
+            [(i, "x", "a") for i in range(50)],
+            "doc_id long, text string, source string",
+        )
+        up = corpus_ops.upsample_sources(docs, {"a": 2.0}).collect()
+        assert len(up) == 100
+        reps = {}
+        for r in up:
+            reps.setdefault(r["doc_id"], []).append(r["rep"])
+        assert all(sorted(v) == [0, 1] for v in reps.values())
+
+    def test_fractional_rate_below_one_matches_mix_sources(self, spark):
+        docs = spark.createDataFrame(
+            [(i, "x", "a") for i in range(200)],
+            "doc_id long, text string, source string",
+        )
+        kept_mix = sorted(
+            r["doc_id"] for r in corpus_ops.mix_sources(docs, {"a": 0.5}).collect()
+        )
+        kept_up = sorted(
+            r["doc_id"] for r in corpus_ops.upsample_sources(docs, {"a": 0.5}).collect()
+        )
+        assert kept_mix == kept_up
+
+    def test_fractional_rate_above_one(self, spark):
+        docs = spark.createDataFrame(
+            [(i, "x", "a") for i in range(400)],
+            "doc_id long, text string, source string",
+        )
+        up = corpus_ops.upsample_sources(docs, {"a": 2.3})
+        counts = [
+            r["n"]
+            for r in up.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n")).collect()
+        ]
+        assert set(counts) <= {2, 3}
+        mean = sum(counts) / len(counts)
+        assert 2.2 < mean < 2.4  # expected copies = rate
+        # deterministic
+        again = corpus_ops.upsample_sources(docs, {"a": 2.3})
+        assert sorted(map(tuple, up.collect())) == sorted(map(tuple, again.collect()))
+
+    def test_unlisted_source_dropped_and_plan_map_side(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "x", "a"), (2, "x", "b")],
+            "doc_id long, text string, source string",
+        )
+        up = corpus_ops.upsample_sources(docs, {"a": 3.0})
+        assert sorted(r["doc_id"] for r in up.collect()) == [1, 1, 1]
+        plan = _plan(up)
+        assert "BroadcastHashJoin" in plan
+        assert "Exchange hashpartitioning" not in plan
