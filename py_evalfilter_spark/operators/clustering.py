@@ -199,13 +199,19 @@ def kmeans_fit(
     seed: int = 42,
     round_decimals: int = 6,
     assign_method: str = "auto",
+    pin_input: bool = True,
 ) -> list[list[float]]:
     """Fixed-iteration deterministic Lloyd's; returns the k centroids
     (k × dim floats — driver-bounded by contract).  The prepared vector
     frame is pinned for the fit's lifetime (the seed sort plus every
     iteration's assign + update reads it — 2·iters+1 upstream re-reads
     otherwise) and released before returning: the fit ends in a collect,
-    so unlike the pair operators it owns its own eviction boundary."""
+    so unlike the pair operators it owns its own eviction boundary.
+    `pin_input=False` skips the cache and re-scans the source each pass —
+    for parquet-backed inputs the iteration passes consume ONLY the vector
+    column, and a columnar re-scan can beat the cache round-trip (the
+    cache materializes and deserializes id+vec rows; see
+    BENCH/BASELINE.md round 5 for the measured comparison)."""
     from ..pinning import PinScope
 
     d = df.select(
@@ -213,7 +219,8 @@ def kmeans_fit(
         F.transform(vec_col, lambda x: x.cast("double")).alias("vec"),
     )
     with PinScope() as fit_pins:
-        d = fit_pins.pin(d)
+        if pin_input:
+            d = fit_pins.pin(d)
         seeds = (
             d.orderBy(
                 F.md5(F.concat_ws(":", F.col("_kid"), F.lit(seed))), F.col("_kid")

@@ -693,3 +693,14 @@ class TestClustering:
         ).toPandas()
         key = lambda p: sorted(zip(p.doc_id, p.dup_id, p.cosine))
         assert key(a) == key(b) and len(a) > 0
+
+
+def test_kmeans_fit_unpinned_matches_pinned(spark):
+    """pin_input only changes the caching strategy, never the math."""
+    from py_evalfilter_spark.operators import clustering
+
+    rows = [(i, [float((i * 7 + j * 3) % 11) for j in range(8)]) for i in range(200)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    a = clustering.kmeans_fit(emb, k=4, iters=2, seed=42, pin_input=True)
+    b = clustering.kmeans_fit(emb, k=4, iters=2, seed=42, pin_input=False)
+    assert a == b
