@@ -39,7 +39,7 @@ from pyspark.sql import DataFrame
 from ..operators import dedup
 
 NEARDUP_OUT = "doc_id long, dup_id long, est double"
-NEARDUP_STATE = "ids array<long>, sigs array<array<long>>"
+NEARDUP_STATE = "buckets array<long>, ids array<long>, sigs array<array<long>>"
 
 _DURATION_MS = {
     "ms": 1,
@@ -81,6 +81,7 @@ def streaming_minhash_candidates(
     est_margin: float = 0.15,
     timeout: str | int | None = None,
     max_bucket_size: int | None = 10_000,
+    group_coalesce: int | None = 8192,
 ) -> DataFrame:
     """Candidate near-dup pairs (doc_id < dup_id, est = signature-agreement
     Jaccard estimate ≥ threshold − est_margin) from a document stream.
@@ -93,7 +94,20 @@ def streaming_minhash_candidates(
     the stored entry is identical and re-emitting its pairs would only
     duplicate output).  `id_col` must be an integral column — the state
     schema stores ids as long (ADVICE r4: a string id would silently
-    int()-truncate otherwise, so it is rejected up front)."""
+    int()-truncate otherwise, so it is rejected up front).
+
+    `group_coalesce` (r5): the state GROUP is (band, bucket mod P), not
+    (band, bucket) — comparisons still happen strictly within true
+    buckets (every state entry carries its bucket), the coalescing only
+    changes the physical grouping.  Why: LSH buckets are near-singleton
+    by design, and PySpark's applyInPandasWithState pays per-GROUP Python
+    overhead — the 1M-doc bench measured ~2M singleton groups per
+    micro-batch costing ~6× the batch path (BENCH/BASELINE.md round 5).
+    Coalescing bounds the group count at bands·P and amortizes the
+    per-call cost over ~occupancy·corpus/P entries; the trade is that a
+    bulk backfill batch touches (and round-trips) most groups' state.
+    None restores one-group-per-bucket (the minimal-state-churn shape for
+    low-rate incremental streams)."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
     from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
@@ -113,42 +127,72 @@ def streaming_minhash_candidates(
         stream.select(id_col, text_col), id_col, text_col, n, num_perm, seed, unit=unit
     )
     banded = dedup.band_buckets(sigs, bands, r, keep_signature=True)
+    if group_coalesce is not None:
+        from pyspark.sql import functions as F
+
+        banded = banded.withColumn(
+            "gkey", F.pmod(F.col("bucket"), F.lit(int(group_coalesce)))
+        )
+        group_cols = ["band", "gkey"]
+    else:
+        group_cols = ["band", "bucket"]
 
     def update(key, pdfs, state: GroupState):
         if state.hasTimedOut:
             state.remove()
             return
-        ids, sigs_ = state.get if state.exists else ([], [])
-        ids, sigs_ = list(ids), [list(s) for s in sigs_]
-        seen = set(ids)
+        buckets, ids, sigs_ = (
+            state.get if state.exists else ([], [], [])
+        )
+        buckets, ids = list(buckets), list(ids)
+        sigs_ = [list(s) for s in sigs_]
+        # per-bucket index: comparisons and the replay check are strictly
+        # within the TRUE bucket — coalescing is physical, not semantic
+        by_bucket: dict[int, list[int]] = {}
+        for i, bkt in enumerate(buckets):
+            by_bucket.setdefault(bkt, []).append(i)
         out_a: list[int] = []
         out_b: list[int] = []
         out_e: list[float] = []
+        dropped = False
         for pdf in pdfs:
-            for doc_id, sig in zip(pdf["doc_id"], pdf["signature"]):
-                doc_id, sig = int(doc_id), [int(x) for x in sig]
-                if doc_id in seen:  # at-least-once replay: identical entry
-                    continue
-                for oid, osig in zip(ids, sigs_):
+            for bkt, doc_id, sig in zip(
+                pdf["bucket"], pdf["doc_id"], pdf["signature"]
+            ):
+                bkt, doc_id = int(bkt), int(doc_id)
+                sig = [int(x) for x in sig]
+                members = by_bucket.setdefault(bkt, [])
+                if any(ids[p] == doc_id for p in members):
+                    continue  # at-least-once replay: identical entry
+                for p in members:
+                    osig = sigs_[p]
                     est = sum(a == b for a, b in zip(sig, osig)) / num_perm
                     if est >= cut:
+                        oid = ids[p]
                         a, b = (oid, doc_id) if oid < doc_id else (doc_id, oid)
                         out_a.append(a)
                         out_b.append(b)
                         out_e.append(round(est, 4))
+                members.append(len(ids))
+                buckets.append(bkt)
                 ids.append(doc_id)
                 sigs_.append(sig)
-                seen.add(doc_id)
-        if max_bucket_size is not None and len(ids) > max_bucket_size:
-            ids = ids[-max_bucket_size:]  # FIFO: recency is the horizon
-            sigs_ = sigs_[-max_bucket_size:]
-        state.update((ids, sigs_))
+                if max_bucket_size is not None and len(members) > max_bucket_size:
+                    # FIFO within the bucket: recency is the horizon
+                    del by_bucket[bkt][: len(members) - max_bucket_size]
+                    dropped = True
+        if dropped:
+            keep = sorted(p for ps in by_bucket.values() for p in ps)
+            buckets = [buckets[p] for p in keep]
+            ids = [ids[p] for p in keep]
+            sigs_ = [sigs_[p] for p in keep]
+        state.update((buckets, ids, sigs_))
         if timeout_ms is not None:
             state.setTimeoutDuration(timeout_ms)
         if out_a:
             yield pd.DataFrame({"doc_id": out_a, "dup_id": out_b, "est": out_e})
 
-    return banded.groupBy("band", "bucket").applyInPandasWithState(
+    return banded.groupBy(*group_cols).applyInPandasWithState(
         update,
         outputStructType=NEARDUP_OUT,
         stateStructType=NEARDUP_STATE,

@@ -491,3 +491,46 @@ class TestStreamingNearDup:
             q.stop()
         got = spark.sql("SELECT * FROM stream_timeout").toPandas()
         assert len(got) == 0, f"evicted bucket still paired: {got}"
+
+
+class TestNearDupGroupCoalesce:
+    def test_coalesced_groups_match_per_bucket_groups(self, spark, tmp_path):
+        """group_coalesce changes only the physical state grouping: the
+        emitted (pair, est) multiset must be identical to the
+        one-group-per-bucket shape, including with a P small enough that
+        unrelated buckets share every group."""
+        from py_evalfilter_spark.streaming import neardup, sessions
+
+        texts = {
+            1: "the quick brown fox jumps over the lazy dog tonight",
+            2: "the quick brown fox jumps over the lazy dog today",
+            3: "completely different content about spark partitions",
+            4: "structured streaming stateful operators in production",
+            5: "the quick brown fox jumps over the lazy dog tonight",
+        }
+        pdf = pd.DataFrame({"doc_id": list(texts), "text": list(texts.values())})
+        sdf = spark.createDataFrame(pdf)
+        src = str(tmp_path / "coalesce_docs")
+        sdf.filter(F.col("doc_id") <= 3).coalesce(1).write.parquet(f"{src}/f=1")
+        sdf.filter(F.col("doc_id") > 3).coalesce(1).write.parquet(f"{src}/f=2")
+
+        results = {}
+        for name, coalesce in (("per_bucket", None), ("coalesced", 2)):
+            stream = (
+                spark.readStream.schema(sdf.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(f"{src}/f=*")
+            )
+            sessions.run_stream_once(
+                stream,
+                lambda s, c=coalesce: neardup.streaming_minhash_candidates(
+                    s, unit="word", group_coalesce=c
+                ),
+                f"stream_coalesce_{name}",
+            )
+            got = spark.sql(f"SELECT * FROM stream_coalesce_{name}").toPandas()
+            results[name] = sorted(
+                zip(got.doc_id, got.dup_id, got.est.round(4))
+            )
+        assert results["per_bucket"] == results["coalesced"]
+        assert len(results["per_bucket"]) > 0
