@@ -144,8 +144,13 @@ def streaming_minhash_candidates(
         buckets, ids, sigs_ = (
             state.get if state.exists else ([], [], [])
         )
-        buckets, ids = list(buckets), list(ids)
-        sigs_ = [list(s) for s in sigs_]
+        # SHALLOW copies only: with coalesced groups most of the state
+        # round-trips through here every micro-batch, and deep-converting
+        # each stored signature (entries × num_perm element casts) was the
+        # measured hotspot of the 1M-doc run.  Entries are append-only, so
+        # the stored element objects are never mutated — whatever sequence
+        # type the Arrow boundary handed us goes straight back.
+        buckets, ids, sigs_ = list(buckets), list(ids), list(sigs_)
         # per-bucket index: comparisons and the replay check are strictly
         # within the TRUE bucket — coalescing is physical, not semantic
         by_bucket: dict[int, list[int]] = {}
@@ -160,7 +165,9 @@ def streaming_minhash_candidates(
                 pdf["bucket"], pdf["doc_id"], pdf["signature"]
             ):
                 bkt, doc_id = int(bkt), int(doc_id)
-                sig = [int(x) for x in sig]
+                # .tolist() is one C call; the per-element int() loop it
+                # replaces was measurable at 1M docs
+                sig = sig.tolist() if hasattr(sig, "tolist") else [int(x) for x in sig]
                 members = by_bucket.setdefault(bkt, [])
                 if any(ids[p] == doc_id for p in members):
                     continue  # at-least-once replay: identical entry
