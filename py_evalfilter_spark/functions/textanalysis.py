@@ -425,3 +425,58 @@ def filter_by_classifier(
         F.col("score") >= threshold
     )
     return df.join(keep.select(id_col), id_col, "left_semi")
+
+
+# ---------------------------------------------------------------------------
+# perplexity bucketing — CCNet's head/middle/tail split (Wenzek et al. 2019:
+# score every document under a reference LM, cut the corpus at score
+# quantiles, and treat the head as the highest-quality slice)
+# ---------------------------------------------------------------------------
+
+
+def perplexity_buckets(
+    scored: DataFrame,
+    n_buckets: int = 3,
+    score_col: str = "avg_logprob",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """scored + (bucket, tier): bucket 1 = highest scores (CCNet's 'head'
+    — low perplexity ≡ high mean log-probability), bucket n = tail.  A
+    score exactly equal to a cutoff goes to the LOWER-quality bucket on
+    every engine (<= both sides, cutoffs ROUNDed to 4 dp — the same
+    cross-engine determinism contract as the scores themselves, which
+    with_unigram_logprob already rounds to 4 dp).
+
+    Scale shape, deliberately NOT a global ntile: cutoffs are the
+    (1/n … (n−1)/n) score quantiles from ONE aggregate pass (n−1 doubles
+    — a bounded driver collect, exactly how CCNet computes its percentile
+    cuts offline), and the tagging is a pure map-side expression against
+    those literals.  A rank-based ntile would need a total order — a
+    single-partition sort at corpus scale — to make bucket SIZES exactly
+    equal; CCNet's buckets are threshold-defined, so sizes wobble with
+    score ties and that is faithful.  (At 100 TB swap the exact
+    percentile aggregate for approx_percentile — the tagging side is
+    unchanged; exact is kept here because the DuckDB oracle checks the
+    cutoffs to 4 dp.)"""
+    if n_buckets < 2:
+        raise ValueError("perplexity_buckets: n_buckets must be >= 2")
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    cuts_row = scored.agg(
+        F.expr(
+            f"percentile({score_col}, array({', '.join(repr(q) for q in qs)}))"
+        ).alias("cuts")
+    ).collect()[0]["cuts"]
+    # descending cutoffs: bucket = 1 + (#cuts the score fails to clear)
+    cuts = sorted((round(float(c), 4) for c in cuts_row), reverse=True)
+    bucket = F.lit(1)
+    for c in cuts:
+        bucket = bucket + F.when(F.col(score_col) <= F.lit(c), 1).otherwise(0)
+    out = scored.withColumn("bucket", bucket.cast("int"))
+    if n_buckets == 3:
+        out = out.withColumn(
+            "tier",
+            F.when(F.col("bucket") == 1, "head")
+            .when(F.col("bucket") == 2, "middle")
+            .otherwise("tail"),
+        )
+    return out

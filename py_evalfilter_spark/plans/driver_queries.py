@@ -2559,6 +2559,56 @@ FROM mixed GROUP BY source
 """
 
 
+def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail perplexity split (functions/textanalysis.py
+    perplexity_buckets over the same unigram-LM fit as lm_score): exact
+    tercile cutoffs from one aggregate pass, map-side tier tagging;
+    per-tier rollup consumes bucket, scores and counts."""
+    from ..functions import textanalysis
+
+    docs = _read(spark, sf_dir, "documents")
+    ref = docs.filter(F.col("source") == "src0")
+    corpus = docs.filter(F.col("source") != "src0")
+    lm = textanalysis.unigram_model(ref, max_features=20)
+    scored = textanalysis.with_unigram_logprob(
+        corpus, lm.model, lm.oov_logp, model_rows=lm.rows
+    ).select("doc_id", "n_tokens", "avg_logprob")
+    tiers = textanalysis.perplexity_buckets(scored)
+    return tiers.groupBy("bucket", "tier").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.sum("avg_logprob"), 4).alias("sum_logprob"),
+        F.sum("n_tokens").alias("sum_tokens"),
+    )
+
+
+# composes over the lm_score oracle verbatim: same fit, same zero-token
+# LEFT JOIN semantics; cutoffs are ROUND(quantile,4) with <= ties going to
+# the lower-quality bucket, mirroring the operator's contract exactly
+SQL_PERPLEXITY_BUCKETS_TEMPLATE = """
+WITH scored AS ({lm_sql}),
+cuts AS (
+  SELECT ROUND(quantile_cont(avg_logprob, 1.0/3), 4) AS c1,
+         ROUND(quantile_cont(avg_logprob, 2.0/3), 4) AS c2
+  FROM scored
+),
+tagged AS (
+  SELECT s.doc_id, s.n_tokens, s.avg_logprob,
+         CASE WHEN s.avg_logprob > c.c2 THEN 1
+              WHEN s.avg_logprob > c.c1 THEN 2
+              ELSE 3 END AS bucket
+  FROM scored s, cuts c
+)
+SELECT bucket,
+       CASE bucket WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS tier,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       ROUND(SUM(avg_logprob), 4) AS sum_logprob,
+       CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
+FROM tagged GROUP BY bucket
+"""
+
+SQL_PERPLEXITY_BUCKETS = SQL_PERPLEXITY_BUCKETS_TEMPLATE.format(lm_sql=SQL_LM_SCORE)
+
+
 def q_upsample_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-epoch source weighting (operators/corpus.py upsample_sources):
     src1 at 2.5 epochs, src2 at 1.0, src4 at 0.25; per-source rollup of
@@ -2651,6 +2701,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # CORRECTNESS row yet go FIRST.  Long-green core queries (3-4
     # consecutive green rounds each through r4) rotate to the tail and
     # come back in later rounds.  New queries are added at the FRONT.
+    "perplexity_buckets": q_perplexity_buckets,
     "upsample_sources": q_upsample_sources,
     "temperature_mix": q_temperature_mix,
     "contamination_stats": q_contamination_stats,
@@ -2729,6 +2780,7 @@ ORACLES: dict[str, str] = {
     # rotated to mirror QUERIES order (driver-unchecked entries first);
     # curation_pipeline is rows-only by design (composite, stages
     # individually oracled below).
+    "perplexity_buckets": SQL_PERPLEXITY_BUCKETS,
     "upsample_sources": SQL_UPSAMPLE_SOURCES,
     "temperature_mix": SQL_TEMPERATURE_MIX,
     "contamination_stats": SQL_CONTAMINATION_STATS,

@@ -1005,3 +1005,53 @@ class TestDupSpanCountMethods:
 
         with _pytest.raises(ValueError):
             corpus_ops.duplicate_spans(docs, count_method="nope").collect()
+
+
+class TestPerplexityBuckets:
+    def _scored(self, spark, vals):
+        from pyspark.sql import functions as F2
+
+        return spark.createDataFrame(
+            [(i, float(v)) for i, v in enumerate(vals)],
+            "doc_id long, avg_logprob double",
+        )
+
+    def test_terciles_hand_computed(self, spark):
+        from py_evalfilter_spark.functions import textanalysis
+
+        # scores 1..9: quantile_cont(1/3)=3.6667, (2/3)=6.3333
+        out = {
+            r["doc_id"]: (r["bucket"], r["tier"])
+            for r in textanalysis.perplexity_buckets(
+                self._scored(spark, range(1, 10))
+            ).collect()
+        }
+        # head = highest scores (low perplexity)
+        assert [out[i][0] for i in range(9)] == [3, 3, 3, 2, 2, 2, 1, 1, 1]
+        assert out[8][1] == "head" and out[0][1] == "tail"
+
+    def test_tie_goes_to_lower_quality_bucket(self, spark):
+        from py_evalfilter_spark.functions import textanalysis
+
+        # 4 values: cutoffs at q(1/3)=2.0, q(2/3)=3.0 exactly on scores
+        out = {
+            r["doc_id"]: r["bucket"]
+            for r in textanalysis.perplexity_buckets(
+                self._scored(spark, [1.0, 2.0, 3.0, 4.0])
+            ).collect()
+        }
+        # score == cutoff -> the LOWER-quality (higher-index) bucket
+        assert out == {0: 3, 1: 3, 2: 2, 3: 1}
+
+    def test_n_buckets_validation_and_general_n(self, spark):
+        from py_evalfilter_spark.functions import textanalysis
+
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            textanalysis.perplexity_buckets(self._scored(spark, [1.0]), n_buckets=1)
+        out = textanalysis.perplexity_buckets(
+            self._scored(spark, range(1, 11)), n_buckets=5
+        )
+        assert "tier" not in out.columns  # labels only for the 3-way split
+        assert sorted(set(r["bucket"] for r in out.collect())) == [1, 2, 3, 4, 5]
