@@ -28,6 +28,24 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _release_local_checkpoint(df: DataFrame) -> None:
+    """Best-effort unpersist of a localCheckpoint()'s backing RDD blocks.
+
+    localCheckpoint persists its RDD OUTSIDE the SQL CacheManager, so
+    neither `df.unpersist()` nor `spark.catalog.clearCache()` can release
+    it; the blocks otherwise live until the JVM object is GC'd
+    (ContextCleaner).  Without an explicit release the iterative loop
+    below holds O(rounds) cached label-frame copies at once — at corpus
+    scale that is real executor storage, not hygiene.  The df must not be
+    used after release (the checkpoint blocks are its only lineage).
+    Blocking so callers (and the PinScope storage tests) observe the
+    blocks gone synchronously."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(True)
+    except Exception:
+        pass  # private API moved — fall back to ContextCleaner GC
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "id_a",
@@ -84,6 +102,7 @@ def connected_components(
         schema = und.select(
             F.col("a").alias("node"), F.col("a").alias("comp")
         ).schema
+        _release_local_checkpoint(und)  # done with the edge frame
         return edges.sparkSession.createDataFrame(rows, schema)
 
     labels = (
@@ -131,9 +150,11 @@ def connected_components(
             .limit(1)
             .count()
         )
+        _release_local_checkpoint(labels)  # superseded round's blocks
         labels = doubled
         if changed == 0:
             break
+    _release_local_checkpoint(und)
     return labels
 
 

@@ -1,5 +1,7 @@
 """Exact-parity tests: vectorized batch_rant_stats ≡ reference rant_stats."""
 
+import unicodedata
+
 import numpy as np
 import pandas as pd
 import pytest
@@ -50,6 +52,48 @@ def test_edge_cases():
             "a" * 5000,
         ]
     )
+
+
+def test_lowercase_boundary_codepoints():
+    """Codepoints whose .lower() crosses a script-name or length boundary.
+
+    tokenize_rant lowercases before token_counts/token_type_counts
+    (textcore.py:165); the vectorized path must evaluate token predicates
+    and lengths on the lowercase expansion.  These four were found by
+    exhaustive scan below 0x110FF (round-5 verdict) and are pinned here so
+    the failure is deterministic, not hypothesis-draw-dependent.
+    """
+    _assert_equal(
+        [
+            "İ",  # 'İ' → 'i̇' (2 chars: wrong 1char/2char/avg/alpha ratio)
+            "K",  # KELVIN SIGN → 'k' (LATIN-named)
+            "Å",  # ANGSTROM SIGN → 'å' (LATIN-named)
+            "Ↄ",  # 'Ↄ' → 'ↄ' LATIN SMALL LETTER REVERSED C
+            "aİb KÅ ↃↃ",  # inside multi-char runs
+            "İ" * 7,  # capped-length interaction (7 raw → 14 lowered)
+        ]
+    )
+
+
+def test_sigma_context():
+    """U+03A3 is Python's only context-sensitive lowercase mapping (final
+    sigma).  'σ' vs 'ς' differ as strings but are identical in length and in
+    all five token predicates, so the per-codepoint expansion stays
+    feature-exact — pinned here."""
+    _assert_equal(["ΑΣ", "ΣΑ", "Σ", "ΑΣ ΒΣ", "aΣ", "Σ1"])
+
+
+def test_exhaustive_single_codepoints():
+    """Every codepoint below 0x3200 plus the letterlike/numeral blocks as a
+    1-char document: fast ≡ slow.  Catches any future per-codepoint table
+    drift without waiting for a lucky hypothesis draw."""
+    ranges = [(0x20, 0x3200), (0x2100, 0x2190), (0xFF00, 0x10000)]
+    cps = [cp for lo, hi in ranges for cp in range(lo, hi)]
+    texts = [chr(cp) for cp in cps if unicodedata.name(chr(cp), "")]
+    fast = tcf.batch_rant_stats(texts).to_numpy()
+    slow = _slow(texts).to_numpy()
+    bad = np.flatnonzero(~np.all(np.isclose(fast, slow), axis=1))
+    assert bad.size == 0, f"divergent codepoints: {[hex(ord(texts[i])) for i in bad[:20]]}"
 
 
 def test_datagen_corpus():
