@@ -183,6 +183,13 @@ def kth_largest(frame: DataFrame, col: str, need: int, eps: float = 1e-4) -> flo
     approxQuantile returns observed data values, which is what makes the
     exact-equality break test (count(>c) < need <= count(>=c)) reachable."""
     c_col = F.col(col)
+    # NULL keys would desynchronize count() (counts them) from
+    # approxQuantile / the exact-count aggregates (ignore them), letting
+    # the loop narrow to an all-null frame where approxQuantile returns []
+    # (ADVICE r5).  Rank over the non-null population only — the same
+    # observable semantics as the old orderBy path (desc puts nulls LAST,
+    # and a null never passes dsir_resample's >= threshold filter).
+    frame = frame.filter(c_col.isNotNull())
     while True:
         n_f = frame.count()
         if n_f == 0:

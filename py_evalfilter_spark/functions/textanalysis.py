@@ -439,6 +439,8 @@ def perplexity_buckets(
     n_buckets: int = 3,
     score_col: str = "avg_logprob",
     id_col: str = "doc_id",
+    exact: bool = True,
+    accuracy: int = 10_000,
 ) -> DataFrame:
     """scored + (bucket, tier): bucket 1 = highest scores (CCNet's 'head'
     — low perplexity ≡ high mean log-probability), bucket n = tail.  A
@@ -454,18 +456,26 @@ def perplexity_buckets(
     those literals.  A rank-based ntile would need a total order — a
     single-partition sort at corpus scale — to make bucket SIZES exactly
     equal; CCNet's buckets are threshold-defined, so sizes wobble with
-    score ties and that is faithful.  (At 100 TB swap the exact
-    percentile aggregate for approx_percentile — the tagging side is
-    unchanged; exact is kept here because the DuckDB oracle checks the
-    cutoffs to 4 dp.)"""
+    score ties and that is faithful.
+
+    ``exact=True`` (default, what the DuckDB oracle pins to 4 dp) uses the
+    exact `percentile` aggregate, which buffers each partition's values —
+    fine at driver/test scale, wrong at corpus scale.  ``exact=False`` is
+    the 100 TB path: `approx_percentile` (Greenwald-Khanna sketch, bounded
+    memory at any n, mergeable map-side) with rank error ≤ 1/`accuracy`;
+    the cutoffs shift within that tolerance but the tagging side is
+    byte-identical logic (tests pin head/tail membership for well-separated
+    scores and bucket-count equality under both modes)."""
     if n_buckets < 2:
         raise ValueError("perplexity_buckets: n_buckets must be >= 2")
     qs = [i / n_buckets for i in range(1, n_buckets)]
-    cuts_row = scored.agg(
-        F.expr(
-            f"percentile({score_col}, array({', '.join(repr(q) for q in qs)}))"
-        ).alias("cuts")
-    ).collect()[0]["cuts"]
+    q_array = f"array({', '.join(repr(q) for q in qs)})"
+    pct = (
+        f"percentile({score_col}, {q_array})"
+        if exact
+        else f"approx_percentile({score_col}, {q_array}, {int(accuracy)})"
+    )
+    cuts_row = scored.agg(F.expr(pct).alias("cuts")).collect()[0]["cuts"]
     # descending cutoffs: bucket = 1 + (#cuts the score fails to clear)
     cuts = sorted((round(float(c), 4) for c in cuts_row), reverse=True)
     bucket = F.lit(1)

@@ -46,6 +46,15 @@ def _dist2(vec_col: str, cvec_col: str):
     )
 
 
+def _round_half_up(x: "np.ndarray", decimals: int) -> "np.ndarray":
+    """Round-half-away-from-zero, matching Spark SQL's ROUND (HALF_UP) so
+    the Arrow paths' round(…,N) parity contract with the join paths holds
+    even at exact dyadic .5 decimal boundaries (e.g. 0.03125 at 4 dp),
+    where np.round's banker's rounding diverges (ADVICE r5)."""
+    scale = 10.0 ** decimals
+    return np.copysign(np.floor(np.abs(x) * scale + 0.5) / scale, x)
+
+
 def _centroid_df(spark, centroids: list[list[float]]) -> DataFrame:
     return spark.createDataFrame(
         [(i, c) for i, c in enumerate(centroids)], "cid int, cvec array<double>"
@@ -109,7 +118,7 @@ def _assign_arrow(d: DataFrame, centroids: list[list[float]], id_col: str) -> Da
             return pd.DataFrame({"cluster": pd.array([], dtype="int32"),
                                  "dist2": pd.array([], dtype="float64")})
         X = np.stack(vecs.to_numpy()).astype(np.float64, copy=False)
-        d2 = np.round(
+        d2 = _round_half_up(
             (X * X).sum(axis=1)[:, None] - 2.0 * (X @ C.T) + c_norm2[None, :], 8
         )
         cid = d2.argmin(axis=1)
@@ -151,7 +160,7 @@ def _update_partials_arrow(d: DataFrame, centroids: list[list[float]]) -> DataFr
             if not len(pdf):
                 continue
             X = np.stack(pdf["vec"].to_numpy()).astype(np.float64, copy=False)
-            d2 = np.round(
+            d2 = _round_half_up(
                 (X * X).sum(axis=1)[:, None] - 2.0 * (X @ C.T) + c_norm2[None, :], 8
             )
             cid = d2.argmin(axis=1)
@@ -293,7 +302,7 @@ def _sim_hits(S: "np.ndarray", threshold: float):
     slice of the pairs stage wall — the threshold scan itself (one
     comparison per candidate) is the irreducible part."""
     rr, cc = np.nonzero(S >= threshold - 1e-4)
-    vals = np.round(S[rr, cc], 4)
+    vals = _round_half_up(S[rr, cc], 4)
     keep = vals >= threshold
     return rr[keep], cc[keep], vals[keep]
 

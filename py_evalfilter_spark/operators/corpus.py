@@ -170,6 +170,18 @@ def _exploded_ngrams(df: DataFrame, n: int, text_col: str, *keep_cols: str) -> D
     )
 
 
+# Benchmark gram sets are small by nature (eval suites, not corpora), but
+# an adversarially large "benchmark" must not OOM executors through an
+# unconditional broadcast — same gate idiom as DUPGRAM_BROADCAST_MAX_ROWS /
+# LM_BROADCAST_MAX_ROWS: one bounded count action on the distinct gram set,
+# shuffle join above the limit with identical output (VERDICT r5 #3).
+BENCHGRAM_BROADCAST_MAX_ROWS = 2_000_000
+
+
+def _maybe_broadcast(small: DataFrame, max_rows: int) -> DataFrame:
+    return F.broadcast(small) if small.count() <= max_rows else small
+
+
 def contamination_report(
     corpus: DataFrame,
     benchmark: DataFrame,
@@ -180,12 +192,16 @@ def contamination_report(
     """Corpus documents sharing ≥1 word n-gram with any benchmark document
     (the standard train/test leakage check, e.g. GPT-3 appendix C /
     Gopher A2): returns (id, n_shared) with n_shared = distinct shared
-    n-grams.  The benchmark n-gram set is distinct + broadcast — the corpus
-    is matched map-side and only the hits aggregate."""
-    bench_grams = _exploded_ngrams(benchmark, n, text_col).distinct()
+    n-grams.  The benchmark n-gram set is distinct + broadcast when within
+    BENCHGRAM_BROADCAST_MAX_ROWS (shuffle join otherwise) — the corpus is
+    matched map-side and only the hits aggregate."""
+    bench_grams = _maybe_broadcast(
+        _exploded_ngrams(benchmark, n, text_col).distinct(),
+        BENCHGRAM_BROADCAST_MAX_ROWS,
+    )
     corpus_grams = _exploded_ngrams(corpus, n, text_col, id_col)
     return (
-        corpus_grams.join(F.broadcast(bench_grams), "ngram")
+        corpus_grams.join(bench_grams, "ngram")
         .groupBy(id_col)
         .agg(F.count_distinct("ngram").alias("n_shared"))
     )
@@ -205,16 +221,18 @@ def contamination_stats(
     PaLM/Llama decontamination thresholds on that fraction).
 
     One corpus-gram pass, one shuffle: the benchmark grams broadcast with a
-    hit mark, and a single per-doc aggregate counts distinct total and
-    distinct shared grams together (no second pass for the denominator)."""
-    bench_grams = (
+    hit mark (size-gated, shuffle join above the limit), and a single
+    per-doc aggregate counts distinct total and distinct shared grams
+    together (no second pass for the denominator)."""
+    bench_grams = _maybe_broadcast(
         _exploded_ngrams(benchmark, n, text_col)
         .distinct()
-        .withColumn("_hit", F.lit(1))
+        .withColumn("_hit", F.lit(1)),
+        BENCHGRAM_BROADCAST_MAX_ROWS,
     )
     corpus_grams = _exploded_ngrams(corpus, n, text_col, id_col)
     return (
-        corpus_grams.join(F.broadcast(bench_grams), "ngram", "left")
+        corpus_grams.join(bench_grams, "ngram", "left")
         .groupBy(id_col)
         .agg(
             F.count_distinct("ngram").alias("n_grams"),

@@ -2697,10 +2697,35 @@ FROM agg WHERE n_shared > 0
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- rotation discipline: the driver snapshots roughly the first 50
-    # entries of this dict per round, so queries WITHOUT a driver-green
-    # CORRECTNESS row yet go FIRST.  Long-green core queries (3-4
-    # consecutive green rounds each through r4) rotate to the tail and
-    # come back in later rounds.  New queries are added at the FRONT.
+    # entries of this dict per round, so entries whose NEWEST driver-green
+    # CORRECTNESS row is oldest go FIRST (no entry's freshest row should
+    # age past ~2 rounds).  New queries are added at the FRONT (they have
+    # no row at all).  r6 order: [new r6 queries] > last green r4
+    # (token_count..smote, outside the r5 window) > first green r5
+    # (perplexity_buckets..semdedup) > long-green r1-r5 core at the tail.
+    "token_count": q_token_count,
+    "quality_score": q_quality_score,
+    "kfold": q_kfold,
+    "stratified_split": q_stratified_split,
+    "knn_cosine": q_knn_cosine,
+    "bow_counts": q_bow_counts,
+    "bow_tfidf": q_bow_tfidf,
+    "rant_stats_features": q_rant_stats_features,
+    "vectorize_type_ngrams": q_vectorize_type_ngrams,
+    "vectorize_pos_tfidf": q_vectorize_pos_tfidf,
+    "dedup_minhash": q_dedup_minhash,
+    "dedup_simhash": q_dedup_simhash,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "embedding_neardup": q_embedding_neardup,
+    "ann_lsh": q_ann_lsh,
+    "ann_ivf": q_ann_ivf,
+    "ann_ivf_fullprobe": q_ann_ivf_fullprobe,
+    "ann_lsh_exhaustive": q_ann_lsh_exhaustive,
+    "dedup_reference_chain": q_dedup_reference_chain,
+    "langid": q_langid,
+    "fingerprint": q_fingerprint,
+    "smote": q_smote,
+    # --- first driver-green in round 5 (CORRECTNESS_r05.json) ---
     "perplexity_buckets": q_perplexity_buckets,
     "upsample_sources": q_upsample_sources,
     "temperature_mix": q_temperature_mix,
@@ -2723,7 +2748,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dsir_weights": q_dsir_weights,
     "semantic_cluster": q_semantic_cluster,
     "semdedup": q_semdedup,
-    # --- driver-green through round 4 (CORRECTNESS_r0{1..4}.json) ---
+    # --- long-green core (r1-r4 consecutive + re-greened r5) ---
     "scan_filter_project": q_scan_filter_project,
     "union_labeled": q_union_labeled,
     "target_derivation": q_target_derivation,
@@ -2752,34 +2777,29 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "binary_meta": q_binary_meta,
     "dedup_exact": q_dedup_exact,
     "dedup_fuzzy_window": q_dedup_fuzzy_window,
-    "token_count": q_token_count,
-    "quality_score": q_quality_score,
-    "kfold": q_kfold,
-    "stratified_split": q_stratified_split,
-    "knn_cosine": q_knn_cosine,
-    "bow_counts": q_bow_counts,
-    "bow_tfidf": q_bow_tfidf,
-    "rant_stats_features": q_rant_stats_features,
-    "vectorize_type_ngrams": q_vectorize_type_ngrams,
-    "vectorize_pos_tfidf": q_vectorize_pos_tfidf,
-    "dedup_minhash": q_dedup_minhash,
-    "dedup_simhash": q_dedup_simhash,
-    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-    "embedding_neardup": q_embedding_neardup,
-    "ann_lsh": q_ann_lsh,
-    "ann_ivf": q_ann_ivf,
-    "ann_ivf_fullprobe": q_ann_ivf_fullprobe,
-    "ann_lsh_exhaustive": q_ann_lsh_exhaustive,
-    "dedup_reference_chain": q_dedup_reference_chain,
-    "langid": q_langid,
-    "fingerprint": q_fingerprint,
-    "smote": q_smote,
 }
 
 ORACLES: dict[str, str] = {
-    # rotated to mirror QUERIES order (driver-unchecked entries first);
+    # rotated to mirror QUERIES order (stalest driver rows first);
     # curation_pipeline is rows-only by design (composite, stages
     # individually oracled below).
+    "token_count": SQL_TOKEN_COUNT,
+    "quality_score": SQL_QUALITY_SCORE,
+    "kfold": SQL_KFOLD,
+    "stratified_split": SQL_STRATIFIED_SPLIT,
+    "knn_cosine": SQL_KNN_COSINE,
+    "bow_counts": SQL_BOW_COUNTS,
+    "bow_tfidf": SQL_BOW_TFIDF,
+    "dedup_minhash": SQL_DEDUP_MINHASH,
+    "dedup_simhash": SQL_DEDUP_SIMHASH,
+    "dedup_ngram_jaccard": SQL_DEDUP_NGRAM_JACCARD,
+    "embedding_neardup": SQL_EMBEDDING_NEARDUP,
+    "ann_ivf_fullprobe": SQL_KNN_COSINE,  # full probe ≡ exact brute force
+    "ann_lsh_exhaustive": SQL_KNN_COSINE,  # single bucket ≡ exact brute force
+    "dedup_reference_chain": SQL_DEDUP_REFERENCE_CHAIN,
+    "langid": SQL_LANGID,
+    "fingerprint": SQL_FINGERPRINT,
+    "smote": SQL_SMOTE,
     "perplexity_buckets": SQL_PERPLEXITY_BUCKETS,
     "upsample_sources": SQL_UPSAMPLE_SOURCES,
     "temperature_mix": SQL_TEMPERATURE_MIX,
@@ -2829,23 +2849,6 @@ ORACLES: dict[str, str] = {
     "binary_meta": SQL_BINARY_META,
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_fuzzy_window": SQL_DEDUP_FUZZY_WINDOW,
-    "token_count": SQL_TOKEN_COUNT,
-    "quality_score": SQL_QUALITY_SCORE,
-    "kfold": SQL_KFOLD,
-    "stratified_split": SQL_STRATIFIED_SPLIT,
-    "knn_cosine": SQL_KNN_COSINE,
-    "bow_counts": SQL_BOW_COUNTS,
-    "bow_tfidf": SQL_BOW_TFIDF,
-    "dedup_ngram_jaccard": SQL_DEDUP_NGRAM_JACCARD,
-    "dedup_minhash": SQL_DEDUP_MINHASH,
-    "dedup_simhash": SQL_DEDUP_SIMHASH,
-    "embedding_neardup": SQL_EMBEDDING_NEARDUP,
-    "ann_ivf_fullprobe": SQL_KNN_COSINE,  # full probe ≡ exact brute force
-    "ann_lsh_exhaustive": SQL_KNN_COSINE,  # single bucket ≡ exact brute force
-    "langid": SQL_LANGID,
-    "fingerprint": SQL_FINGERPRINT,
-    "dedup_reference_chain": SQL_DEDUP_REFERENCE_CHAIN,
-    "smote": SQL_SMOTE,
     # rows-only (Arrow-UDF tokenizers / banded-LSH internals / iterative
     # component loops not expressible in ANSI SQL; allclose- or
     # recall-tested in pytest, and every curation_pipeline stage is

@@ -6,8 +6,8 @@ FeatureUnion of [RantStats dict-features | token-type n-gram BoW | POS
 n-gram BoW (count or tfidf) | word-token TF-IDF (rant_bow)] → fold split →
 dump folds + vocabulary JSON + metadata.  Same defaults as the reference
 CLIs (gvsb: type (1,3)/min_df 25/max 500, pos (1,2)/min_df 25/max 4000;
-price: pos max 1000/min_df 10, word_max_features 0 ⇒ rant_bow off, as in
-generate_dataset_price.py:44-45,124-130).
+price: pos max 3000/min_df 25, type max 1000/min_df 10, word_max_features
+0 ⇒ rant_bow off, as in generate_dataset_price.py:38-45,124-130).
 
 Block layout parity (FeatureUnion hstack order, generate_dataset_gvsb.py:74-90):
   [ rant_stats (19, alpha-sorted) | type_vec vocab | pos_vec vocab | word_vec vocab ]
@@ -235,8 +235,8 @@ def generate_price(
     source_path: str,
     output_dir: str,
     n_folds: int = 1,
-    pos_min_df: int = 10,
-    pos_max_features: int = 1000,
+    pos_min_df: int = 25,
+    pos_max_features: int = 3000,
     type_min_df: int = 10,
     type_max_features: int = 1000,
     word_min_df: int = 25,
@@ -247,9 +247,10 @@ def generate_price(
     block (profile categoricals one-hot like DictVectorizer) + text blocks
     (incl. the optional rant_bow word TF-IDF, --word-max-features).
 
-    Defaults match the reference price CLI, which differs from gvsb on the
-    TYPE block too (generate_dataset_price.py:40-45: type 1000/min_df 10,
-    pos 1000/min_df 10, word off)."""
+    Defaults match the reference price CLI (generate_dataset_price.py:38-45:
+    pos 3000/min_df 25, type 1000/min_df 10, word off) — only the TYPE
+    block is 1000/10; the POS block keeps the gvsb-style 25 min_df with a
+    3000-feature cap."""
     data = rants_csv.load_fuman_userprofile(spark, source_path, target="price")
     # DictVectorizer semantics on the profile: numeric fields pass through,
     # string categoricals one-hot with 'field=value' names, alpha-sorted

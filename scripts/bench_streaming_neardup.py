@@ -23,6 +23,7 @@ import argparse
 import glob
 import json
 import os
+import shutil
 import sys
 import time
 
@@ -67,14 +68,19 @@ def main() -> None:
     )
     cands = neardup.streaming_minhash_candidates(stream, unit="word")
 
+    # fresh checkpoint per run: a surviving ckpt dir from a previous
+    # invocation has all source offsets committed, so the stream would
+    # process ZERO rows and report a near-zero wall as if it were a real
+    # measurement (ADVICE r5) — the memory sink is recreated empty either
+    # way, so there is nothing to resume.
+    ckpt = f"{work}/ckpt_{int(os.environ.get('BENCH_RUN', 0))}"
+    shutil.rmtree(ckpt, ignore_errors=True)
     t0 = time.perf_counter()
     q = (
         cands.writeStream.format("memory")
         .queryName("neardup_scale")
         .outputMode("append")
-        .option(
-            "checkpointLocation", f"{work}/ckpt_{int(os.environ.get('BENCH_RUN', 0))}"
-        )
+        .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
         .start()
     )

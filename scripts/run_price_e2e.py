@@ -10,7 +10,7 @@ every written svmlight fold row against the pure-python golden hstack.
 
 Modes:
   --mode bench   full corpus at --sf-dir, reference price CLI defaults
-                 (type 1000/min_df 10, pos 1000/min_df 10, word off) — the
+                 (type 1000/min_df 10, pos 3000/min_df 25, word off) — the
                  wall-time row for BENCH/BASELINE.md.
   --mode golden  first --limit texts, capped vocabularies, rant_bow ON, and
                  a row-by-row golden diff of every written fold line
@@ -244,9 +244,9 @@ def golden_diff(texts: list[str], out_dir: str, cfg: dict) -> dict:
             "golden_sec": golden_sec}
 
 
-REFERENCE_CFG = dict(  # generate_dataset_price.py:40-47 click defaults
+REFERENCE_CFG = dict(  # generate_dataset_price.py:38-45 click defaults
     type_min_df=10, type_max_features=1000,
-    pos_min_df=10, pos_max_features=1000,
+    pos_min_df=25, pos_max_features=3000,
     word_min_df=25, word_max_features=0,
 )
 GOLDEN_CFG = dict(

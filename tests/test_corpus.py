@@ -91,6 +91,43 @@ class TestDecontamination:
         plan = _plan(corpus_ops.contamination_report(corpus, bench, n=8))
         assert "BroadcastHashJoin" in plan
 
+    def test_over_limit_benchmark_degrades_to_shuffle_join(self, spark, monkeypatch):
+        """VERDICT r5 #3: the benchmark-gram broadcast is size-gated — an
+        over-limit benchmark set falls back to a shuffle join with
+        identical output (no unconditional executor-memory bet)."""
+        bench = spark.createDataFrame(
+            [(100, "alpha beta gamma delta"), (101, "zz qq rr ss")],
+            "doc_id long, text string",
+        )
+        corpus = spark.createDataFrame(
+            [(1, "alpha beta gamma delta zz"), (2, "alpha beta qq rr"),
+             (3, "totally clean words only here")],
+            "doc_id long, text string",
+        )
+        want_rep = sorted(
+            (r["doc_id"], r["n_shared"])
+            for r in corpus_ops.contamination_report(corpus, bench, n=2).collect()
+        )
+        want_stats = sorted(
+            (r["doc_id"], r["n_shared"], r["n_grams"], r["contaminated_frac"])
+            for r in corpus_ops.contamination_stats(corpus, bench, n=2).collect()
+        )
+        monkeypatch.setattr(corpus_ops, "BENCHGRAM_BROADCAST_MAX_ROWS", 0)
+        rep = corpus_ops.contamination_report(corpus, bench, n=2)
+        stats = corpus_ops.contamination_stats(corpus, bench, n=2)
+        for df in (rep, stats):
+            plan = _plan(df)
+            assert "BroadcastHashJoin" not in plan
+            assert "BroadcastNestedLoopJoin" not in plan
+        assert sorted((r["doc_id"], r["n_shared"]) for r in rep.collect()) == want_rep
+        assert (
+            sorted(
+                (r["doc_id"], r["n_shared"], r["n_grams"], r["contaminated_frac"])
+                for r in stats.collect()
+            )
+            == want_stats
+        )
+
 
 class TestPackSequences:
     def test_concat_then_chunk_assignment(self, spark):
@@ -692,6 +729,36 @@ class TestDsir:
         # self-correcting iterations, same answer
         assert dsir.kth_largest(df, "v", 21, eps=0.3) == 2.0
 
+    def test_kth_largest_ignores_null_keys(self, spark):
+        """ADVICE r5: NULL keys desynchronized count() from the
+        null-ignoring quantile/aggregate passes.  kth_largest now ranks
+        the non-null population only — the same observable semantics as
+        the old orderBy(desc) path (nulls last, never above threshold)."""
+        import pytest as _pytest
+
+        from py_evalfilter_spark.functions import dsir
+
+        rows = [(0, 5.0), (1, None), (2, 3.0), (3, None), (4, 1.0), (5, None)]
+        df = spark.createDataFrame(rows, "doc_id long, v double")
+        assert dsir.kth_largest(df, "v", 1) == 5.0
+        assert dsir.kth_largest(df, "v", 2) == 3.0
+        assert dsir.kth_largest(df, "v", 3) == 1.0
+        # need past the non-null population: min of the comparable values,
+        # not a null-poisoned scalar
+        assert dsir.kth_largest(df, "v", 5) == 1.0
+        all_null = spark.createDataFrame(
+            [(0, None), (1, None)], "doc_id long, v double"
+        )
+        with _pytest.raises(ValueError):
+            dsir.kth_largest(all_null, "v", 1)
+        # resample over a frame with null weights: nulls are never selected
+        w = spark.createDataFrame(
+            [(i, float(i)) for i in range(6)] + [(10, None), (11, None)],
+            "doc_id long, dsir_logw double",
+        )
+        got = sorted(r["doc_id"] for r in dsir.dsir_resample(w, k=6).collect())
+        assert got == [0, 1, 2, 3, 4, 5]
+
     def test_resample_plan_has_no_global_sort(self, spark):
         """The scale contract of the threshold-select: the returned plan is
         scan+filter — no Sort, no TakeOrderedAndProject, no single merge
@@ -1055,3 +1122,29 @@ class TestPerplexityBuckets:
         )
         assert "tier" not in out.columns  # labels only for the 3-way split
         assert sorted(set(r["bucket"] for r in out.collect())) == [1, 2, 3, 4, 5]
+
+    def test_approx_mode_tolerance(self, spark):
+        """VERDICT r5 #4: exact=False is the corpus-scale path
+        (approx_percentile sketch, bounded memory).  At accuracy=10_000
+        the rank error on n ≪ 10k rows is sub-row, so bucket sizes match
+        the exact split to within one rank per cutoff; head/tail
+        membership of well-separated scores is identical."""
+        from py_evalfilter_spark.functions import textanalysis
+
+        scored = self._scored(spark, range(1, 301))
+        exact = {
+            r["doc_id"]: r["bucket"]
+            for r in textanalysis.perplexity_buckets(scored).collect()
+        }
+        approx = {
+            r["doc_id"]: r["bucket"]
+            for r in textanalysis.perplexity_buckets(scored, exact=False).collect()
+        }
+        n = len(exact)
+        for b in (1, 2, 3):
+            n_exact = sum(1 for v in exact.values() if v == b)
+            n_approx = sum(1 for v in approx.values() if v == b)
+            assert abs(n_exact - n_approx) <= 1, f"bucket {b}"
+        # extreme scores land identically under both modes
+        assert approx[0] == exact[0] == 3  # lowest score → tail
+        assert approx[n - 1] == exact[n - 1] == 1  # highest → head

@@ -589,6 +589,27 @@ class TestClustering:
         assert unguarded >= 4900
         assert 0 < guarded < 2500, guarded
 
+    def test_round_half_up_matches_spark_round(self, spark):
+        """ADVICE r5: the Arrow paths' rounding must be HALF_UP like Spark
+        SQL ROUND, not numpy's banker's rounding — dyadic values landing
+        exactly on a .5 decimal boundary (odd/32 at 4 dp) are exactly
+        representable and DO diverge under np.round."""
+        from py_evalfilter_spark.operators.clustering import _round_half_up
+
+        vals = [
+            0.03125, -0.03125, 0.15625, -0.15625, 0.09375,  # odd/32: exact .5 at 4 dp
+            0.12345, -0.98765, 0.0, 7.0, 1.00004999, 123.456789,
+        ]
+        # prove the divergence this guards against is real
+        assert float(np.round(0.03125, 4)) == 0.0312  # banker's: to even
+        assert float(_round_half_up(np.array([0.03125]), 4)[0]) == 0.0313
+        got = _round_half_up(np.array(vals, dtype=np.float64), 4)
+        rows = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(vals)], "i long, v double"
+        ).select("i", F.round("v", 4).alias("r")).collect()
+        want = [r["r"] for r in sorted(rows, key=lambda r: r["i"])]
+        assert [float(x) for x in got] == want
+
     def test_assign_arrow_join_parity(self, spark):
         """The vectorized Arrow assign (BLAS matmul) must reproduce the
         broadcast-crossJoin assign bit-for-bit under the round(…,8)
