@@ -121,6 +121,14 @@ CONSUME: dict[str, list[str]] = {
         "count(*) AS n", "sum(n_tokens) AS a",  # map-side md5-weight scoring
         "sum(score) AS b",
     ],
+    "dedup_incremental": [
+        "count(*) AS n", "sum(jaccard) AS a",   # shard-vs-standing LSH + verify
+        "sum(dup_id) AS b",
+    ],
+    "media_digest_dedup": [
+        "count(*) AS n", "sum(n_copies) AS a",  # md5-key groupBy over blobs
+        "sum(keep_id) AS b",
+    ],
 }
 
 BENCH_QUERIES = list(CONSUME)

@@ -110,6 +110,83 @@ def audio_chunks(df: DataFrame, chunk_ms: int = 5000) -> DataFrame:
     )
 
 
+def media_digest_dedup(
+    df: DataFrame, id_col: str = "media_id", content_col: str = "content"
+) -> DataFrame:
+    """Exact media dedup on raw bytes: (digest, keep_id, n_copies), one
+    group per distinct content digest, survivor = min id (the batch text
+    operator's dedup_exact semantics, operators/dedup.py:45, over a binary
+    column).
+
+    100 TB shape: the groupBy key is md5(content) computed JVM-side in the
+    scan stage, so the ONE shuffle moves 32-char digests — never the blobs
+    (grouping by the binary column itself would shuffle the full media
+    bytes).  Content-addressable-storage semantics: md5 collisions merge,
+    which is the standard CAS trade.  The plan reads only (id, content);
+    metadata-only columns are pruned from the parquet scan."""
+    return df.groupBy(F.md5(F.col(content_col)).alias("digest")).agg(
+        F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_copies")
+    )
+
+
+def media_embedding_neardup(
+    feats: DataFrame,
+    id_col: str = "media_id",
+    features_col: str = "features",
+    threshold: float = 0.95,
+    **kwargs,
+) -> DataFrame:
+    """Near-duplicate media via extracted feature vectors (the perceptual
+    analogue of digest dedup: re-encodes/resizes survive): cosine >=
+    threshold pairs through the multi-table hyperplane blocking of
+    operators/dedup.embedding_neardup_pairs — same recall guarantees,
+    never all-pairs.  `feats` is the (id, features) table a real pipeline
+    persists next to the media blobs (image_features() output here);
+    output columns are (doc_id, dup_id, cosine) with doc_id < dup_id."""
+    from ..operators import dedup
+
+    return dedup.embedding_neardup_pairs(
+        feats, id_col, features_col, threshold=threshold, **kwargs
+    )
+
+
+def curate_media(
+    df: DataFrame,
+    feature_threshold: float | None = None,
+    features: DataFrame | None = None,
+    real_decode: bool = False,
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Optional media curation stage (the media twin of plans/curation.py's
+    text stages): drop exact byte-duplicates (digest survivors only), then
+    — when `feature_threshold` is set — drop perceptual near-dups: for
+    every feature-cosine pair above threshold the LOWER id survives.
+
+    `features` overrides the built-in extractor with a precomputed
+    (id, features) table — the at-scale mode, where feature extraction is
+    its own (GPU) job and this stage only joins its output; None extracts
+    via image_features() (fake decoder unless real_decode).  Non-image
+    rows pass the near-dup stage untouched (no features → nothing to
+    compare).  Both drops are left_semi/left_anti joins on ids, so media
+    blobs are never shuffled — ids move, content stays columnar."""
+    keep = media_digest_dedup(df, id_col=id_col).select(
+        F.col("keep_id").alias(id_col)
+    )
+    survivors = df.join(keep, id_col, "left_semi")
+    if feature_threshold is None:
+        return survivors
+    if features is None:
+        features = image_features(
+            survivors.filter(F.col("kind") == "image"), real_decode=real_decode
+        ).withColumnRenamed("media_id", id_col)
+    pairs = media_embedding_neardup(
+        features, id_col=id_col, features_col="features",
+        threshold=feature_threshold,
+    )
+    drops = pairs.select(F.col("dup_id").alias(id_col)).distinct()
+    return survivors.join(drops, id_col, "left_anti")
+
+
 def make_fake_media(spark, n: int = 20, seed: int = 42) -> DataFrame:
     """Deterministic fake media table for plumbing tests."""
     rng = np.random.RandomState(seed)

@@ -515,6 +515,18 @@ def minhash_lsh_pairs(
         .withColumnRenamed("__text", "text_b")
     )
 
+    jaccard_udf = _exact_jaccard_udf(unit, n)
+    return (
+        pairs.withColumn("jaccard", jaccard_udf("text_a", "text_b"))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_id", "dup_id", "jaccard")
+    )
+
+
+def _exact_jaccard_udf(unit: str, n: int):
+    """Arrow verify stage shared by the full and incremental LSH pair ops:
+    exact shingle-set Jaccard, rounded to 4 dp (the oracle convention)."""
+
     def _shingle_set(x: str):
         if not isinstance(x, str) or not x:
             return set()
@@ -536,6 +548,107 @@ def minhash_lsh_pairs(
 
         return pd.Series([round(j(x, y), 4) for x, y in zip(a, b)])
 
+    return jaccard_udf
+
+
+def minhash_lsh_pairs_incremental(
+    new: DataFrame,
+    old: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_perm: int = 64,
+    bands: int = 16,
+    threshold: float = 0.8,
+    seed: int = 42,
+    unit: str = "char",
+    est_margin: float = 0.15,
+    pins: "PinScope | None" = None,
+) -> DataFrame:
+    """minhash_lsh_pairs restricted to pairs TOUCHING the `new` shard:
+    new×old and new×new, never old×old — the batch complement of
+    streaming/neardup.py's delta regime, for the standing-corpus pattern
+    (daily crawl shard against an already-deduped corpus).
+
+    Why not union + filter: a self-join over the union builds every
+    old-bucket's |old_b|² candidate rows before any filter can drop them —
+    the exact quadratic term the r5 scale runs measured.  Here the join is
+    ASYMMETRIC (banded new against banded old ∪ new), so per-bucket
+    candidate mass is |new_b|·|all_b|: linear in the shard for fixed
+    standing occupancy.  The old corpus pays one signature pass and one
+    shuffle by (band, bucket) — no state is kept between runs (persist the
+    old signatures externally to amortize across shards).
+
+    Same (n, num_perm, bands, seed, unit, est_margin) semantics and
+    verify stages as minhash_lsh_pairs, so output ≡ the full operator's
+    pairs filtered to those touching `new`.  Requires ids unique ACROSS
+    both frames (pair identity is id-based); output is (doc_id, dup_id,
+    jaccard) with doc_id < dup_id regardless of which side is new."""
+    assert num_perm % bands == 0
+    r = num_perm // bands
+    sigs_new = _pin(
+        minhash_signatures(new, id_col, text_col, n, num_perm, seed, unit=unit),
+        pins,
+    )
+    sigs_old = _pin(
+        minhash_signatures(old, id_col, text_col, n, num_perm, seed, unit=unit),
+        pins,
+    )
+    banded_new = _pin(band_buckets(sigs_new, bands, r), pins)
+    banded_all = banded_new.withColumn("_new", F.lit(True)).unionByName(
+        band_buckets(sigs_old, bands, r).withColumn("_new", F.lit(False))
+    )
+    l = banded_new.alias("l")
+    rt = banded_all.alias("r")
+    cands = (
+        l.join(
+            rt,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            # old partners pair with every new bucket-mate (old is never on
+            # the left, so each new×old pair appears exactly once); new
+            # partners need the strict order so new×new pairs don't double
+            & (~F.col("r._new") | (F.col("l.doc_id") < F.col("r.doc_id"))),
+        )
+        .filter(F.col("l.doc_id") != F.col("r.doc_id"))
+        .select(
+            F.least(F.col("l.doc_id"), F.col("r.doc_id")).alias("doc_id"),
+            F.greatest(F.col("l.doc_id"), F.col("r.doc_id")).alias("dup_id"),
+        )
+        .distinct()
+    )
+    sigs = sigs_new.unionByName(sigs_old)
+    sig_a = sigs.select(F.col("doc_id"), F.col("signature").alias("sig_a"))
+    sig_b = sigs.select(
+        F.col("doc_id").alias("dup_id"), F.col("signature").alias("sig_b")
+    )
+    est = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    ) / F.lit(float(num_perm))
+    cands = (
+        cands.join(sig_a, "doc_id")
+        .join(sig_b, "dup_id")
+        .withColumn("est", est)
+        .filter(F.col("est") >= threshold - est_margin)
+        .select("doc_id", "dup_id")
+    )
+    texts = (
+        new.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__text"))
+        .unionByName(
+            old.select(
+                F.col(id_col).alias("doc_id"), F.col(text_col).alias("__text")
+            )
+        )
+    )
+    pairs = (
+        cands.join(texts, "doc_id")
+        .withColumnRenamed("__text", "text_a")
+        .join(texts.withColumnRenamed("doc_id", "dup_id"), "dup_id")
+        .withColumnRenamed("__text", "text_b")
+    )
+    jaccard_udf = _exact_jaccard_udf(unit, n)
     return (
         pairs.withColumn("jaccard", jaccard_udf("text_a", "text_b"))
         .filter(F.col("jaccard") >= threshold)

@@ -861,6 +861,84 @@ FROM documents
 """
 
 
+def _media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic media table over documents (functions/multimodal.py
+    MEDIA_SCHEMA shape): content = the raw UTF-8 payload as opaque binary,
+    kind cycles image/audio/video by id, metadata a sibling struct.  Exact
+    byte-copies injected at +1M ids for every doc_id % 7 == 0 so the digest
+    dedup has real work (the base corpus texts are all-distinct at small
+    SF)."""
+    docs = _read(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("kind"),
+        F.encode("text", "UTF-8").alias("content"),
+    )
+    copies = media.filter(F.col("media_id") % 7 == 0).withColumn(
+        "media_id", F.col("media_id") + 1_000_000
+    )
+    return media.unionByName(copies)
+
+
+def q_media_digest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media exact dedup on the raw bytes (multimodal.media_digest_dedup):
+    one group per content digest, survivor = min media_id.  The shuffle
+    key is the JVM-side md5 of the binary column — blobs never move."""
+    from ..functions import multimodal
+
+    return multimodal.media_digest_dedup(_media_table(spark, sf_dir))
+
+
+SQL_MEDIA_DIGEST_DEDUP = """
+WITH media AS (
+  SELECT doc_id AS media_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS media_id, text FROM documents WHERE doc_id % 7 = 0
+)
+SELECT md5(text) AS digest, MIN(media_id) AS keep_id, COUNT(*) AS n_copies
+FROM media GROUP BY md5(text)
+"""
+
+
+def q_media_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual media near-dup over a persisted feature store
+    (multimodal.media_embedding_neardup → hyperplane-blocked cosine pairs):
+    image-kind media rows (vec_id % 3 == 0, mirroring _media_table's kind
+    cycle) carry feature vectors; exact-copy media injected at +1M ids.
+    Oracle: brute-force cosine >= 0.999 over the same filtered set — at
+    that threshold blocking recall is 1 (see q_embedding_neardup)."""
+    from ..functions import multimodal
+
+    emb = _read(spark, sf_dir, "embeddings")
+    feats = emb.filter(F.col("vec_id") % 3 == 0).select(
+        F.col("vec_id").alias("media_id"), F.col("embedding").alias("features")
+    )
+    copies = feats.filter(F.col("media_id") % 10 == 0).withColumn(
+        "media_id", F.col("media_id") + 1_000_000
+    )
+    return multimodal.media_embedding_neardup(
+        feats.unionByName(copies), threshold=0.999, n_planes=12
+    )
+
+
+SQL_MEDIA_EMBEDDING_NEARDUP = """
+WITH feats AS (
+  SELECT vec_id AS media_id, CAST(embedding AS DOUBLE[]) AS vec
+  FROM embeddings WHERE vec_id % 3 = 0
+  UNION ALL
+  SELECT vec_id + 1000000 AS media_id, CAST(embedding AS DOUBLE[]) AS vec
+  FROM embeddings WHERE vec_id % 3 = 0 AND vec_id % 10 = 0
+)
+SELECT a.media_id AS doc_id, b.media_id AS dup_id,
+       ROUND(list_cosine_similarity(a.vec, b.vec), 4) AS cosine
+FROM feats a JOIN feats b ON a.media_id < b.media_id
+WHERE ROUND(list_cosine_similarity(a.vec, b.vec), 4) >= 0.999
+"""
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: hash-groupBy on content, keep min doc_id (survivor set)."""
     docs = _read(spark, sf_dir, "documents")
@@ -1232,6 +1310,61 @@ FROM common c0
 JOIN sizes sa ON sa.doc_id = c0.doc_id
 JOIN sizes sb ON sb.doc_id = c0.dup_id
 WHERE ROUND(c0.c * 1.0 / (sa.sz + sb.sz - c0.c), 4) >= 0.8
+"""
+
+
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental MinHash-LSH: a NEW shard (two near-identical variants
+    per selected doc, ids +1M/+2M) deduped against the standing documents
+    corpus — pairs touching the shard only, old×old candidate mass never
+    built (operators/dedup.minhash_lsh_pairs_incremental).  Oracle: exact
+    char-3-gram Jaccard >= 0.8 over the union, filtered to pairs whose
+    larger id is a shard id — same recall argument as q_dedup_minhash
+    (banding capture ≈1 at the injected similarities, verify = precision
+    1.0)."""
+    from ..operators import dedup
+
+    docs = _read(spark, sf_dir, "documents")
+    base = docs.filter(F.col("doc_id") % 37 == 0)
+    shard = base.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" x")).alias("text"),
+    ).unionByName(
+        base.select(
+            (F.col("doc_id") + 2_000_000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" y")).alias("text"),
+        )
+    )
+    return dedup.minhash_lsh_pairs_incremental(
+        shard, docs.select("doc_id", "text"), "doc_id", "text",
+        n=3, num_perm=64, bands=16, threshold=0.8,
+    )
+
+
+SQL_DEDUP_INCREMENTAL = f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text || ' x' AS text
+  FROM documents WHERE doc_id % 37 = 0
+  UNION ALL
+  SELECT doc_id + 2000000 AS doc_id, text || ' y' AS text
+  FROM documents WHERE doc_id % 37 = 0
+),
+{DEDUP_SHINGLES_CTE.strip()},
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_id, b.doc_id AS dup_id, COUNT(*) AS c
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT c0.doc_id, c0.dup_id,
+       ROUND(c0.c * 1.0 / (sa.sz + sb.sz - c0.c), 4) AS jaccard
+FROM common c0
+JOIN sizes sa ON sa.doc_id = c0.doc_id
+JOIN sizes sb ON sb.doc_id = c0.dup_id
+WHERE ROUND(c0.c * 1.0 / (sa.sz + sb.sz - c0.c), 4) >= 0.8
+  AND c0.dup_id >= 1000000
 """
 
 
@@ -2703,6 +2836,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # no row at all).  r6 order: [new r6 queries] > last green r4
     # (token_count..smote, outside the r5 window) > first green r5
     # (perplexity_buckets..semdedup) > long-green r1-r5 core at the tail.
+    "media_digest_dedup": q_media_digest_dedup,
+    "media_embedding_neardup": q_media_embedding_neardup,
+    "dedup_incremental": q_dedup_incremental,
     "token_count": q_token_count,
     "quality_score": q_quality_score,
     "kfold": q_kfold,
@@ -2783,6 +2919,9 @@ ORACLES: dict[str, str] = {
     # rotated to mirror QUERIES order (stalest driver rows first);
     # curation_pipeline is rows-only by design (composite, stages
     # individually oracled below).
+    "media_digest_dedup": SQL_MEDIA_DIGEST_DEDUP,
+    "media_embedding_neardup": SQL_MEDIA_EMBEDDING_NEARDUP,
+    "dedup_incremental": SQL_DEDUP_INCREMENTAL,
     "token_count": SQL_TOKEN_COUNT,
     "quality_score": SQL_QUALITY_SCORE,
     "kfold": SQL_KFOLD,

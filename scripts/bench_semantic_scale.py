@@ -79,6 +79,13 @@ def main() -> None:
         "SKIPPED (and recorded as infeasible) when its predicted candidate "
         "count exceeds this",
     )
+    ap.add_argument(
+        "--multi-assigns",
+        default="1",
+        help="comma list of semdedup multi_assign values to run per k "
+        "(VERDICT r5 #8: '1,2' quantifies cross-cluster recall recovered "
+        "by top-2 centroid entry vs the extra candidate mass it costs)",
+    )
     ap.add_argument("--work-dir", default="/tmp/semantic_scale")
     args = ap.parse_args()
 
@@ -102,34 +109,65 @@ def main() -> None:
         cents = clustering.kmeans_fit(emb, k=k, iters=args.iters, seed=42)
         fit_sec = round(time.perf_counter() - t0, 2)
 
+        per_m = {}
         with PinScope() as pins:
-            t1 = time.perf_counter()
-            n_pairs, pairs_sec, infeasible, n_injected_found = None, None, None, None
-            try:
-                pairs = clustering.semdedup_pairs(
-                    emb,
-                    cents,
-                    threshold=args.threshold,
-                    pins=pins,
-                    max_cluster_size=args.max_cluster_size,
-                    max_candidate_mass=args.max_pairs,
+            for m in [int(x) for x in args.multi_assigns.split(",")]:
+                t1 = time.perf_counter()
+                n_pairs, pairs_sec, infeasible, n_injected_found = (
+                    None, None, None, None,
                 )
-                # one pass: total pairs + how many of the n_dups injected
-                # (i, i+2n) perturbation pairs were recovered
-                tot = pairs.agg(
-                    F.count(F.lit(1)).alias("n"),
-                    F.sum(
-                        F.when(
-                            (F.col("dup_id") == F.col("doc_id") + 2 * args.n)
-                            & (F.col("doc_id") < args.n_dups),
-                            1,
-                        ).otherwise(0)
-                    ).alias("inj"),
-                ).collect()[0]
-                n_pairs, n_injected_found = tot["n"], int(tot["inj"] or 0)
-                pairs_sec = round(time.perf_counter() - t1, 2)
-            except ValueError as e:  # candidate-mass guard fired
-                infeasible = str(e)
+                try:
+                    pairs = clustering.semdedup_pairs(
+                        emb,
+                        cents,
+                        threshold=args.threshold,
+                        pins=pins,
+                        max_cluster_size=args.max_cluster_size,
+                        max_candidate_mass=args.max_pairs,
+                        multi_assign=m,
+                    )
+                    # one pass: total pairs + how many of the n_dups
+                    # injected (i, i+2n) perturbation pairs were recovered
+                    tot = pairs.agg(
+                        F.count(F.lit(1)).alias("n"),
+                        F.sum(
+                            F.when(
+                                (F.col("dup_id") == F.col("doc_id") + 2 * args.n)
+                                & (F.col("doc_id") < args.n_dups),
+                                1,
+                            ).otherwise(0)
+                        ).alias("inj"),
+                    ).collect()[0]
+                    n_pairs, n_injected_found = tot["n"], int(tot["inj"] or 0)
+                    pairs_sec = round(time.perf_counter() - t1, 2)
+                except ValueError as e:  # candidate-mass guard fired
+                    infeasible = str(e)
+                per_m[m] = dict(
+                    n_pairs=n_pairs,
+                    pairs_sec=pairs_sec,
+                    infeasible=infeasible,
+                    n_injected_found=n_injected_found,
+                )
+                if m > 1:
+                    # the extra candidate mass the top-m entry buys: Σ|b|²
+                    # over the REPLICATED occupancies
+                    d_ = emb.select(
+                        F.col("vec_id").alias("doc_id"),
+                        F.transform(
+                            "embedding", lambda x: x.cast("double")
+                        ).alias("vec"),
+                    )
+                    per_m[m]["candidate_mass"] = sum(
+                        r["n"] * r["n"]
+                        for r in clustering._assign_topm(d_, cents, "doc_id", m)
+                        .groupBy("cluster")
+                        .agg(F.count(F.lit(1)).alias("n"))
+                        .collect()
+                    )
+            n_pairs = per_m[min(per_m)]["n_pairs"]
+            pairs_sec = per_m[min(per_m)]["pairs_sec"]
+            infeasible = per_m[min(per_m)]["infeasible"]
+            n_injected_found = per_m[min(per_m)]["n_injected_found"]
 
             sizes = sorted(
                 r["n"]
@@ -162,6 +200,10 @@ def main() -> None:
             },
             "candidate_mass": pair_mass,
         }
+        if len(per_m) > 1:
+            row["per_multi_assign"] = {
+                str(m): v for m, v in sorted(per_m.items())
+            }
         print(json.dumps(row), flush=True)
         results.append(row)
 

@@ -87,6 +87,57 @@ class TestDedup:
         assert got_pairs <= set(_brute_jaccard_pairs(pdf, n=3, threshold=0.7))
         assert len(got_pairs) >= len(want) - 1  # allow one LSH miss at the margin
 
+    def test_minhash_incremental_equals_full_restricted(self, spark, docs):
+        """The incremental operator's contract: output ≡ the FULL
+        operator's pairs over new ∪ old, restricted to pairs touching the
+        new shard — with identical jaccard values."""
+        from pyspark.sql import functions as F
+
+        new = docs.filter(F.col("doc_id") % 2 == 0).select(
+            (F.col("doc_id") + 1000).alias("doc_id"),
+            F.concat("text", F.lit(" z")).alias("text"),
+        )
+        full = dedup.minhash_lsh_pairs(
+            docs.select("doc_id", "text").unionByName(new),
+            "doc_id", "text", n=3, threshold=0.7,
+        ).toPandas()
+        new_ids = {r["doc_id"] for r in new.collect()}
+        want = {
+            (a, b): j
+            for a, b, j in zip(full.doc_id, full.dup_id, full.jaccard)
+            if a in new_ids or b in new_ids
+        }
+        got = dedup.minhash_lsh_pairs_incremental(
+            new, docs.select("doc_id", "text"), "doc_id", "text",
+            n=3, threshold=0.7,
+        ).toPandas()
+        assert {
+            (a, b): j for a, b, j in zip(got.doc_id, got.dup_id, got.jaccard)
+        } == want
+        assert want  # non-vacuous: the shard really near-dups the corpus
+
+    def test_minhash_incremental_never_pairs_old_with_old(self, spark):
+        """Two identical OLD docs never pair (their dup was settled when
+        they entered the standing corpus); a new doc identical to both
+        pairs with each, and the two new copies pair once with each other."""
+        old = spark.createDataFrame(
+            [(1, "the standing corpus has this exact document twice over"),
+             (2, "the standing corpus has this exact document twice over"),
+             (3, "an unrelated standing document about parquet file readers")],
+            "doc_id long, text string",
+        )
+        new = spark.createDataFrame(
+            [(10, "the standing corpus has this exact document twice over"),
+             (11, "the standing corpus has this exact document twice over")],
+            "doc_id long, text string",
+        )
+        got = dedup.minhash_lsh_pairs_incremental(
+            new, old, "doc_id", "text"
+        ).toPandas()
+        assert set(zip(got.doc_id, got.dup_id)) == {
+            (1, 10), (2, 10), (1, 11), (2, 11), (10, 11)
+        }
+
     def test_minhash_deterministic(self, spark, docs):
         a = dedup.minhash_signatures(docs, "doc_id", "text").toPandas()
         b = dedup.minhash_signatures(docs, "doc_id", "text").toPandas()
@@ -609,6 +660,89 @@ class TestClustering:
         ).select("i", F.round("v", 4).alias("r")).collect()
         want = [r["r"] for r in sorted(rows, key=lambda r: r["i"])]
         assert [float(x) for x in got] == want
+
+    def test_semdedup_multi_assign_recovers_boundary_pair(self, spark):
+        """VERDICT r5 #8: a near-dup pair split by a cluster boundary
+        (each member's argmin centroid differs, second-nearest shared) is
+        invisible to single-assign semdedup and recovered by
+        multi_assign=2 — emitted ONCE despite both clusters seeing it."""
+        from py_evalfilter_spark.operators import clustering
+
+        cents = [[1.0, 0.0], [0.9, 0.1]]
+        emb = spark.createDataFrame(
+            [
+                (0, [0.95, 0.048]),   # argmin → c0
+                (1, [0.95, 0.052]),   # argmin → c1; cosine(0,1) ≈ 0.99999
+                (2, [-1.0, 0.0]),     # far away, pairs with nothing
+            ],
+            "vec_id long, embedding array<double>",
+        )
+        single = clustering.semdedup_pairs(emb, cents, threshold=0.999).collect()
+        assert single == []
+        for method in ("join", "arrow"):
+            got = clustering.semdedup_pairs(
+                emb, cents, threshold=0.999, multi_assign=2, pair_method=method
+            ).collect()
+            assert [(r["doc_id"], r["dup_id"]) for r in got] == [(0, 1)], method
+
+    def test_semdedup_multi_assign_superset(self, spark):
+        """multi_assign=2 output is a strict superset contract: every
+        single-assign pair survives with the identical cosine (the extra
+        entries only ADD buckets a doc appears in)."""
+        from py_evalfilter_spark.operators import clustering
+
+        emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+        dups = emb.filter(F.col("vec_id") % 53 == 0).withColumn(
+            "vec_id", F.col("vec_id") + 1_000_000
+        )
+        corpus = emb.unionByName(dups)
+        cents = clustering.kmeans_fit(corpus, k=8, iters=2, seed=42)
+        p1 = {
+            (r["doc_id"], r["dup_id"]): r["cosine"]
+            for r in clustering.semdedup_pairs(
+                corpus, cents, threshold=0.99
+            ).collect()
+        }
+        p2 = {
+            (r["doc_id"], r["dup_id"]): r["cosine"]
+            for r in clustering.semdedup_pairs(
+                corpus, cents, threshold=0.99, multi_assign=2
+            ).collect()
+        }
+        assert set(p1) <= set(p2)
+        assert all(p2[k] == v for k, v in p1.items())
+        # deduped: no (doc_id, dup_id) appears twice
+        rows = clustering.semdedup_pairs(
+            corpus, cents, threshold=0.99, multi_assign=2
+        ).collect()
+        assert len(rows) == len({(r["doc_id"], r["dup_id"]) for r in rows})
+
+    def test_assign_topm_join_arrow_parity(self, spark):
+        """_assign_topm's two methods agree on the SET of (id, cluster)
+        entries (same round(…,8) distance contract, stable tie-break to
+        the lowest cid on both sides)."""
+        from py_evalfilter_spark.operators import clustering
+
+        emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+        cents = clustering.kmeans_fit(emb, k=8, iters=2, seed=42)
+        d = emb.select(
+            F.col("vec_id").alias("doc_id"),
+            F.transform("embedding", lambda x: x.cast("double")).alias("vec"),
+        )
+        for m in (2, 3):
+            a_join = sorted(
+                (r["doc_id"], r["cluster"])
+                for r in clustering._assign_topm(
+                    d, cents, "doc_id", m, method="join"
+                ).collect()
+            )
+            a_arrow = sorted(
+                (r["doc_id"], r["cluster"])
+                for r in clustering._assign_topm(
+                    d, cents, "doc_id", m, method="arrow"
+                ).collect()
+            )
+            assert a_join == a_arrow, m
 
     def test_assign_arrow_join_parity(self, spark):
         """The vectorized Arrow assign (BLAS matmul) must reproduce the

@@ -157,6 +157,19 @@ class TestBenchedQueryPlans:
         plan = self._benched(spark, "classifier_score")
         assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
 
+    def test_dedup_incremental_keeps_verify_udf(self, spark):
+        """The benched frame must keep the exact-Jaccard Arrow verify (the
+        jaccard sum consumes it) — a pruned plan would time LSH banding
+        only."""
+        plan = self._benched(spark, "dedup_incremental")
+        assert "ArrowEvalPython" in plan
+
+    def test_media_digest_dedup_shuffles_digest_key(self, spark):
+        """The digest groupBy must key the exchange on md5(content) — blobs
+        never move (the media-dedup scale contract)."""
+        plan = self._benched(spark, "media_digest_dedup")
+        assert "md5" in plan and "HashAggregate" in plan
+
     def test_dedup_fuzzy_rebalances_before_levenshtein(self, spark):
         """The O(len^2) Levenshtein must run AFTER a round-robin Exchange,
         not inside the source-partitioned window stage whose parallelism is

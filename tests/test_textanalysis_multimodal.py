@@ -134,3 +134,75 @@ class TestMultimodal:
         scan = spark.read.parquet(p).select("media_id", "meta.n_bytes")
         plan = scan._jdf.queryExecution().executedPlan().toString()
         assert "content" not in plan  # binary column pruned from the scan
+
+
+def _dup_media(spark, n=12):
+    """Fake media plus exact byte-copies of every 3rd item at +100 ids."""
+    from pyspark.sql import functions as F
+
+    media = multimodal.make_fake_media(spark, n=n)
+    copies = media.filter("media_id % 3 = 0").withColumn(
+        "media_id", F.col("media_id") + 100
+    )
+    return media.unionByName(copies)
+
+
+class TestMediaDedup:
+    def test_digest_dedup_groups_and_survivors(self, spark):
+        out = {
+            r["digest"]: (r["keep_id"], r["n_copies"])
+            for r in multimodal.media_digest_dedup(_dup_media(spark)).collect()
+        }
+        assert len(out) == 12  # one group per distinct content
+        # copied items (0,3,6,9) group with their +100 twin and the
+        # ORIGINAL (min id) survives; everything else is a singleton
+        assert sorted(v for v in out.values() if v[1] == 2) == [
+            (0, 2), (3, 2), (6, 2), (9, 2)
+        ]
+        assert all(n == 1 for k, n in out.values() if k not in (0, 3, 6, 9))
+        assert all(k < 100 for k, _ in out.values())
+
+    def test_digest_dedup_shuffles_digests_not_blobs(self, spark, tmp_path):
+        """The groupBy key is md5(content) computed scan-side: the exchange
+        carries 32-char digests, never the binary column — and the parquet
+        scan reads only (media_id, content)."""
+        media = multimodal.make_fake_media(spark, n=12)
+        p = str(tmp_path / "media_dedup")
+        media.write.parquet(p)
+        df = multimodal.media_digest_dedup(spark.read.parquet(p))
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "md5" in plan
+        read_schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
+        assert "content" in read_schema
+        assert "meta" not in read_schema and "kind" not in read_schema
+
+    def test_curate_media_digest_stage(self, spark):
+        got = multimodal.curate_media(_dup_media(spark))
+        ids = sorted(r["media_id"] for r in got.collect())
+        assert ids == list(range(12))  # every +100 copy dropped, originals kept
+
+    def test_curate_media_feature_stage(self, spark):
+        """With a precomputed feature table (the at-scale mode: extraction
+        is its own job), near-dup pairs above threshold drop the HIGHER id;
+        rows without features pass untouched."""
+        from pyspark.sql import functions as F  # noqa: F401
+
+        media = multimodal.make_fake_media(spark, n=6)
+        feats = spark.createDataFrame(
+            [
+                (0, [1.0, 0.0, 0.0, 0.0]),
+                (1, [0.999, 0.01, 0.0, 0.0]),   # near-dup of 0 → dropped
+                (2, [0.0, 1.0, 0.0, 0.0]),
+                (3, [0.0, 0.0, 1.0, 0.0]),
+            ],
+            "media_id long, features array<double>",
+        )
+        got = multimodal.curate_media(media, feature_threshold=0.95, features=feats)
+        assert sorted(r["media_id"] for r in got.collect()) == [0, 2, 3, 4, 5]
+
+    def test_curate_media_extractor_path(self, spark):
+        """features=None extracts via image_features() over the image-kind
+        survivors (fake decoder): distinct contents → (avalanche) distinct
+        features, so nothing near-dups and the digest survivors all pass."""
+        got = multimodal.curate_media(_dup_media(spark), feature_threshold=0.95)
+        assert sorted(r["media_id"] for r in got.collect()) == list(range(12))
