@@ -72,10 +72,23 @@ def jvm_peak_rss_gb() -> float:
     return round(peak / 1e6, 2)
 
 
-def synthesize_replicated_corpus(spark, sf_dir: str, work: str, mult: int, partitions: int):
+def synthesize_replicated_corpus(
+    spark,
+    sf_dir: str,
+    work: str,
+    mult: int,
+    partitions: int,
+    rep_lo: int = 0,
+    out_name: str = "documents.parquet",
+):
     """The marker-perturbed mult-fold corpus (module docstring) — shared by
-    the 10M robustness run and the scaling pair so the two benchmarks can
-    never drift onto different corpora."""
+    the 10M robustness run, the scaling pair, and the streaming delta bench
+    so the benchmarks can never drift onto different corpora.  `rep_lo`
+    shifts the replica index range to [rep_lo, rep_lo + mult): the delta
+    bench uses disjoint rep ranges so arriving documents are NEW ids with
+    the same dup structure against the standing corpus (the
+    (doc_id + rep) % 50 == 0 verbatim replicas keep landing in the standing
+    exact-dup clusters)."""
     from pyspark.sql import functions as F
 
     base = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -84,7 +97,10 @@ def synthesize_replicated_corpus(spark, sf_dir: str, work: str, mult: int, parti
     # (single-file input trap, BENCH/BASELINE.md round 3)
     reps = (
         base.repartition(partitions)
-        .withColumn("rep", F.explode(F.sequence(F.lit(0), F.lit(mult - 1))))
+        .withColumn(
+            "rep",
+            F.explode(F.sequence(F.lit(rep_lo), F.lit(rep_lo + mult - 1))),
+        )
         .withColumn(
             "new_id",
             F.col("doc_id") + F.col("rep").cast("long") * F.lit(10_000_000),
@@ -124,7 +140,7 @@ def synthesize_replicated_corpus(spark, sf_dir: str, work: str, mult: int, parti
             F.length("text").alias("n_chars"),
         )
     )
-    reps.write.mode("overwrite").parquet(f"{work}/documents.parquet")
+    reps.write.mode("overwrite").parquet(f"{work}/{out_name}")
 
 
 def main() -> None:
