@@ -564,6 +564,7 @@ def minhash_lsh_pairs_incremental(
     unit: str = "char",
     est_margin: float = 0.15,
     pins: "PinScope | None" = None,
+    old_sigs: DataFrame | None = None,
 ) -> DataFrame:
     """minhash_lsh_pairs restricted to pairs TOUCHING the `new` shard:
     new×old and new×new, never old×old — the batch complement of
@@ -576,8 +577,13 @@ def minhash_lsh_pairs_incremental(
     ASYMMETRIC (banded new against banded old ∪ new), so per-bucket
     candidate mass is |new_b|·|all_b|: linear in the shard for fixed
     standing occupancy.  The old corpus pays one signature pass and one
-    shuffle by (band, bucket) — no state is kept between runs (persist the
-    old signatures externally to amortize across shards).
+    shuffle by (band, bucket) — no state is kept between runs; pass
+    `old_sigs` (a persisted minhash_signatures(old, ...) table with the
+    SAME (n, num_perm, seed, unit)) to skip that pass, the amortized
+    daily-shard mode: each run appends the shard's signatures to the
+    store, so the standing corpus is tokenized exactly once ever.  `old`
+    texts are still consumed — but only by the exact-verify join against
+    the (shard-proportional) candidate set, never re-shingled.
 
     Same (n, num_perm, bands, seed, unit, est_margin) semantics and
     verify stages as minhash_lsh_pairs, so output ≡ the full operator's
@@ -590,7 +596,7 @@ def minhash_lsh_pairs_incremental(
         minhash_signatures(new, id_col, text_col, n, num_perm, seed, unit=unit),
         pins,
     )
-    sigs_old = _pin(
+    sigs_old = old_sigs if old_sigs is not None else _pin(
         minhash_signatures(old, id_col, text_col, n, num_perm, seed, unit=unit),
         pins,
     )

@@ -138,6 +138,30 @@ class TestDedup:
             (1, 10), (2, 10), (1, 11), (2, 11), (10, 11)
         }
 
+    def test_minhash_incremental_persisted_sigs_identical(self, spark, docs):
+        """The amortized daily-shard mode: passing a precomputed
+        minhash_signatures(old) table as `old_sigs` must produce output
+        identical to recomputing signatures in-op (same params ⇒ same
+        signatures ⇒ same buckets, estimates, and verified pairs)."""
+        from pyspark.sql import functions as F
+
+        new = docs.filter(F.col("doc_id") % 2 == 0).select(
+            (F.col("doc_id") + 1000).alias("doc_id"),
+            F.concat("text", F.lit(" z")).alias("text"),
+        )
+        old = docs.select("doc_id", "text")
+        in_op = dedup.minhash_lsh_pairs_incremental(
+            new, old, "doc_id", "text", n=3, threshold=0.7,
+        ).toPandas()
+        store = dedup.minhash_signatures(old, "doc_id", "text", n=3)
+        amortized = dedup.minhash_lsh_pairs_incremental(
+            new, old, "doc_id", "text", n=3, threshold=0.7, old_sigs=store,
+        ).toPandas()
+        key = lambda df: {
+            (a, b): j for a, b, j in zip(df.doc_id, df.dup_id, df.jaccard)
+        }
+        assert key(amortized) == key(in_op) and len(in_op)
+
     def test_minhash_deterministic(self, spark, docs):
         a = dedup.minhash_signatures(docs, "doc_id", "text").toPandas()
         b = dedup.minhash_signatures(docs, "doc_id", "text").toPandas()
