@@ -129,6 +129,10 @@ CONSUME: dict[str, list[str]] = {
         "count(*) AS n", "sum(n_copies) AS a",  # md5-key groupBy over blobs
         "sum(keep_id) AS b",
     ],
+    "line_dedup": [
+        "count(*) AS n", "sum(n_lines_kept) AS a",  # CCNet line-hash dedup
+        "sum(n_lines_dropped) AS b",                # + per-doc text rebuild
+    ],
 }
 
 BENCH_QUERIES = list(CONSUME)

@@ -763,3 +763,82 @@ def remove_duplicate_spans(
         .withColumn("n_words_kept", F.coalesce("n_words_kept", F.lit(0)))
         .drop("_clean")
     )
+
+
+def _line_key(line):
+    """CCNet's per-line normalization for the dedup hash: lowercase, strip
+    everything but letters (digits + punctuation removed), md5.  Only the
+    HASH sees the normalization — surviving lines keep their raw text."""
+    return F.md5(F.regexp_replace(F.lower(line), r"[^\p{L}]+", ""))
+
+
+def dedup_lines(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+) -> DataFrame:
+    """Corpus-wide line-level (paragraph-level) deduplication — CCNet's
+    first pipeline stage (Wenzek et al. 2019, "CCNet", §3.1): every line
+    whose normalized hash already occurred anywhere in the corpus is
+    dropped, keeping exactly the FIRST occurrence in deterministic
+    (id, line_idx) order.  This is the dedup granularity between the
+    doc-level operators (dedup.py) and the word-n-gram span operator
+    (duplicate_spans): it kills boilerplate — headers, nav bars, cookie
+    banners — that repeats across *different* pages.
+
+    Lines whose normalized form is EMPTY (blank / punctuation-only) are
+    exempt — they carry document structure, and hashing them would
+    collapse every blank line in the corpus onto one survivor.
+
+    Output: df with `text_col` rebuilt from the surviving lines (original
+    order, original raw text, joined by `sep`), plus n_lines_kept /
+    n_lines_dropped.  Fully-duplicated documents keep an empty string —
+    the row survives so a downstream length filter makes the drop
+    decision explicitly (same contract as remove_duplicate_spans).
+
+    100 TB shape: two linear shuffles.  (1) first-occurrence per hash via
+    groupBy(key).min(struct(id, idx)) — map-side partial aggregation
+    absorbs the boilerplate skew (a million-occurrence cookie banner
+    partially aggregates to one row per map task before the Exchange);
+    the survivors join back probe-side-skewed only, which AQE skew-split
+    handles (build side is 1 row/key).  (2) the per-doc rebuild groupBy —
+    bounded by document length.  Never a window over the raw line table:
+    partitionBy(key) would put every occurrence of the hottest line in
+    ONE task."""
+    lines = df.select(
+        F.col(id_col), F.posexplode(F.split(text_col, sep)).alias("idx", "line")
+    ).withColumn("_key", _line_key(F.col("line")))
+    exempt = F.regexp_replace(F.lower("line"), r"[^\p{L}]+", "") == ""
+    hashed = lines.filter(~exempt)
+    firsts = hashed.groupBy("_key").agg(
+        F.min(F.struct(F.col(id_col), F.col("idx"))).alias("_first")
+    )
+    kept_hashed = hashed.join(firsts, "_key").filter(
+        F.struct(F.col(id_col), F.col("idx")) == F.col("_first")
+    )
+    kept = kept_hashed.select(id_col, "idx", "line").unionByName(
+        lines.filter(exempt).select(id_col, "idx", "line")
+    )
+    n_lines = lines.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n_total"))
+    rebuilt = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_lines_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("idx", "line"))),
+                lambda s: s["line"],
+            ),
+            sep,
+        ).alias("_clean"),
+    )
+    return (
+        df.drop(text_col)
+        .join(rebuilt, id_col, "left")
+        .join(n_lines, id_col, "left")
+        .withColumn(text_col, F.coalesce(F.col("_clean"), F.lit("")))
+        .withColumn("n_lines_kept", F.coalesce("n_lines_kept", F.lit(0)))
+        .withColumn(
+            "n_lines_dropped", F.col("_n_total") - F.col("n_lines_kept")
+        )
+        .drop("_clean", "_n_total")
+    )

@@ -1368,6 +1368,71 @@ WHERE ROUND(c0.c * 1.0 / (sa.sz + sb.sz - c0.c), 4) >= 0.8
 """
 
 
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet line-level dedup (corpus.dedup_lines) over a two-line corpus
+    where doc i = [text_i, text_{i+1}] (built by a doc_id+1 self-join) —
+    every interior line occurs in exactly two documents, so the operator
+    must keep each line's first (doc_id, idx) occurrence and rebuild doc 0
+    intact, every later doc to its second line only."""
+    from ..operators import corpus
+
+    docs = _read(spark, sf_dir, "documents")
+    nxt = docs.select(
+        (F.col("doc_id") - 1).alias("doc_id"), F.col("text").alias("_t2")
+    )
+    multi = docs.join(nxt, "doc_id", "left").select(
+        "doc_id",
+        F.concat_ws(
+            "\n", F.col("text"), F.coalesce(F.col("_t2"), F.lit(""))
+        ).alias("text"),
+    )
+    return corpus.dedup_lines(multi).select(
+        "doc_id", "text", "n_lines_kept", "n_lines_dropped"
+    )
+
+
+SQL_LINE_DEDUP = """
+WITH multi AS (
+  SELECT d.doc_id, d.text || chr(10) || COALESCE(n.text, '') AS text
+  FROM documents d LEFT JOIN documents n ON n.doc_id = d.doc_id + 1
+),
+split AS (
+  SELECT doc_id,
+         unnest(generate_series(1, len(string_split(text, chr(10))))) - 1 AS idx,
+         unnest(string_split(text, chr(10))) AS line
+  FROM multi
+),
+lines AS (
+  SELECT doc_id, idx, line,
+         regexp_replace(lower(line), '[^\\p{L}]+', '', 'g') AS norm
+  FROM split
+),
+ranked AS (
+  SELECT doc_id, idx, line,
+         ROW_NUMBER() OVER (PARTITION BY norm ORDER BY doc_id, idx) AS rn
+  FROM lines WHERE norm <> ''
+),
+kept AS (
+  SELECT doc_id, idx, line FROM ranked WHERE rn = 1
+  UNION ALL
+  SELECT doc_id, idx, line FROM lines WHERE norm = ''
+),
+rebuilt AS (
+  SELECT doc_id, COUNT(*) AS n_lines_kept,
+         string_agg(line, chr(10) ORDER BY idx) AS text
+  FROM kept GROUP BY doc_id
+),
+totals AS (SELECT doc_id, COUNT(*) AS n_total FROM lines GROUP BY doc_id)
+SELECT m.doc_id,
+       COALESCE(r.text, '') AS text,
+       COALESCE(r.n_lines_kept, 0) AS n_lines_kept,
+       t.n_total - COALESCE(r.n_lines_kept, 0) AS n_lines_dropped
+FROM multi m
+LEFT JOIN rebuilt r ON r.doc_id = m.doc_id
+JOIN totals t ON t.doc_id = m.doc_id
+"""
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs on the dup-injected corpus.  At
     max_hamming=3 the 4x16-bit band blocking is pigeonhole-EXHAUSTIVE
@@ -2836,6 +2901,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # no row at all).  r6 order: [new r6 queries] > last green r4
     # (token_count..smote, outside the r5 window) > first green r5
     # (perplexity_buckets..semdedup) > long-green r1-r5 core at the tail.
+    "line_dedup": q_line_dedup,
     "media_digest_dedup": q_media_digest_dedup,
     "media_embedding_neardup": q_media_embedding_neardup,
     "dedup_incremental": q_dedup_incremental,
@@ -2919,6 +2985,7 @@ ORACLES: dict[str, str] = {
     # rotated to mirror QUERIES order (stalest driver rows first);
     # curation_pipeline is rows-only by design (composite, stages
     # individually oracled below).
+    "line_dedup": SQL_LINE_DEDUP,
     "media_digest_dedup": SQL_MEDIA_DIGEST_DEDUP,
     "media_embedding_neardup": SQL_MEDIA_EMBEDDING_NEARDUP,
     "dedup_incremental": SQL_DEDUP_INCREMENTAL,

@@ -60,6 +60,61 @@ class TestRepetitionStats:
         assert [r["doc_id"] for r in kept] == [2]
 
 
+class TestLineDedup:
+    def test_ccnet_first_occurrence_semantics(self, spark):
+        docs = spark.createDataFrame(
+            [
+                (1, "subscribe to our newsletter\nunique article one\n---"),
+                # boilerplate repeats (and normalization ignores case/punct)
+                (2, "Subscribe, to our NEWSLETTER!\nunique article two"),
+                (3, "unique article three\nsubscribe to our newsletter"),
+                (4, "subscribe to our newsletter"),  # fully duplicated
+            ],
+            "doc_id long, text string",
+        )
+        out = {
+            r["doc_id"]: r
+            for r in corpus_ops.dedup_lines(docs).collect()
+        }
+        # doc 1 owns the first occurrence; its punctuation-only line is
+        # exempt from hashing and survives
+        assert out[1]["text"] == (
+            "subscribe to our newsletter\nunique article one\n---"
+        )
+        assert out[1]["n_lines_dropped"] == 0
+        # docs 2-4 lose the boilerplate — including the case/punctuation
+        # variant (the hash sees the normalized line)
+        assert out[2]["text"] == "unique article two"
+        assert out[2]["n_lines_dropped"] == 1
+        assert out[3]["text"] == "unique article three"
+        # fully-duplicated doc keeps an empty string, row survives
+        assert out[4]["text"] == "" and out[4]["n_lines_kept"] == 0
+
+    def test_blank_lines_exempt(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "a real line\n\nanother real line"),
+             (2, "totally different\n\nlines over here")],
+            "doc_id long, text string",
+        )
+        out = {r["doc_id"]: r for r in corpus_ops.dedup_lines(docs).collect()}
+        # both docs keep their blank middle line — blanks never dedup
+        assert out[1]["text"].split("\n")[1] == ""
+        assert out[2]["text"].split("\n")[1] == ""
+        assert out[1]["n_lines_dropped"] == 0
+        assert out[2]["n_lines_dropped"] == 0
+
+    def test_no_window_over_line_hashes(self, spark):
+        """Skew contract: the first-occurrence reduction must be a partial
+        hash aggregate (map-side combine absorbs boilerplate skew), never
+        a window partitioned by the line hash."""
+        docs = spark.createDataFrame(
+            [(1, "x\ny"), (2, "y\nz")], "doc_id long, text string"
+        )
+        plan = _plan(corpus_ops.dedup_lines(docs))
+        assert "Window" not in plan
+        assert "HashAggregate" in plan
+
+
 class TestDecontamination:
     def test_flags_shared_ngram(self, spark):
         bench = spark.createDataFrame(
