@@ -206,3 +206,38 @@ def dedup_keep_canonical(
         F.col("node").alias(id_col)
     )
     return df.join(drop, id_col, "left_anti")
+
+
+def dedup_keep_best(
+    df: DataFrame,
+    pairs: DataFrame,
+    score_col: str,
+    id_col: str = "doc_id",
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """dedup_keep_canonical with a QUALITY-ranked survivor: per duplicate
+    cluster keep the member with the highest `score_col` (ties → lowest
+    id, so the choice is deterministic) — what a production pipeline
+    actually wants: when a page was crawled five times, keep the cleanest
+    capture, not the one with the smallest id.
+
+    Shape: the component frame is |dup nodes|-sized (≪ corpus), so the
+    score lookup joins component nodes against the corpus projection
+    (id, score) — never the reverse; the survivor reduction is one
+    groupBy(comp) min over a (−score, id) struct with map-side combine;
+    the corpus pays only the final anti-join against the drop set."""
+    comp = connected_components(pairs, src=src, dst=dst)
+    scored = comp.join(
+        df.select(F.col(id_col).alias("node"), F.col(score_col).alias("_s")),
+        "node",
+    )
+    best = scored.groupBy("comp").agg(
+        F.min(F.struct((-F.col("_s")).alias("_neg"), F.col("node"))).alias("_b")
+    ).select("comp", F.col("_b.node").alias("_keep"))
+    drop = (
+        comp.join(best, "comp")
+        .filter(F.col("node") != F.col("_keep"))
+        .select(F.col("node").alias(id_col))
+    )
+    return df.join(drop, id_col, "left_anti")

@@ -2126,6 +2126,65 @@ def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-ranked canonical selection (graph.dedup_keep_best): same
+    dup-pair graph as q_dedup_cluster, survivor per component = the member
+    with the LARGEST n_chars (ties → lowest doc_id) — the keep-the-best-
+    capture policy a production dedup actually wants.  Returns the
+    surviving corpus projection."""
+    from ..operators import graph
+
+    docs = _read(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("doc_id")
+    e = (
+        docs.select(
+            "doc_id",
+            "n_chars",
+            F.lag("doc_id").over(w).alias("pid"),
+            F.lag("n_chars").over(w).alias("pchars"),
+        )
+        .filter(
+            F.col("pid").isNotNull()
+            & (F.abs(F.col("n_chars") - F.col("pchars")) <= 50)
+        )
+        .select(F.col("pid").alias("id_a"), F.col("doc_id").alias("id_b"))
+    )
+    return graph.dedup_keep_best(
+        docs.select("doc_id", "source", "n_chars"), e, score_col="n_chars"
+    )
+
+
+SQL_DEDUP_BEST = """
+WITH RECURSIVE base AS (
+  SELECT source, doc_id, n_chars,
+         LAG(doc_id) OVER (PARTITION BY source ORDER BY doc_id) AS pid,
+         LAG(n_chars) OVER (PARTITION BY source ORDER BY doc_id) AS pchars
+  FROM documents
+),
+e AS (
+  SELECT pid AS a, doc_id AS b FROM base
+  WHERE pid IS NOT NULL AND ABS(n_chars - pchars) <= 50
+),
+und AS (SELECT a, b FROM e UNION SELECT b AS a, a AS b FROM e),
+reach AS (
+  SELECT a AS node, a AS root FROM und
+  UNION
+  SELECT u.a AS node, r.root FROM und u JOIN reach r ON u.b = r.node
+),
+comps AS (SELECT node, MIN(root) AS comp FROM reach GROUP BY node),
+ranked AS (
+  SELECT c.comp, c.node,
+         ROW_NUMBER() OVER (
+           PARTITION BY c.comp ORDER BY d.n_chars DESC, c.node ASC
+         ) AS rn
+  FROM comps c JOIN documents d ON d.doc_id = c.node
+),
+drops AS (SELECT node FROM ranked WHERE rn > 1)
+SELECT doc_id, source, n_chars FROM documents
+WHERE doc_id NOT IN (SELECT node FROM drops)
+"""
+
+
 SQL_DEDUP_CLUSTER = """
 WITH RECURSIVE base AS (
   SELECT source, doc_id, n_chars,
@@ -2902,6 +2961,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # (token_count..smote, outside the r5 window) > first green r5
     # (perplexity_buckets..semdedup) > long-green r1-r5 core at the tail.
     "line_dedup": q_line_dedup,
+    "dedup_best": q_dedup_best,
     "media_digest_dedup": q_media_digest_dedup,
     "media_embedding_neardup": q_media_embedding_neardup,
     "dedup_incremental": q_dedup_incremental,
@@ -2986,6 +3046,7 @@ ORACLES: dict[str, str] = {
     # curation_pipeline is rows-only by design (composite, stages
     # individually oracled below).
     "line_dedup": SQL_LINE_DEDUP,
+    "dedup_best": SQL_DEDUP_BEST,
     "media_digest_dedup": SQL_MEDIA_DIGEST_DEDUP,
     "media_embedding_neardup": SQL_MEDIA_EMBEDDING_NEARDUP,
     "dedup_incremental": SQL_DEDUP_INCREMENTAL,

@@ -97,3 +97,30 @@ class TestDedupKeepCanonical:
         )
         # clusters {1,2,4} -> keep 1; {6,7} -> keep 6; singletons untouched
         assert kept == [0, 1, 3, 5, 6]
+
+
+class TestDedupKeepBest:
+    def test_keeps_highest_score_ties_to_lowest_id(self, spark):
+        docs = spark.createDataFrame(
+            [(0, 1.0), (1, 0.2), (2, 0.9), (4, 0.9), (6, 0.5), (7, 0.5)],
+            "doc_id long, quality double",
+        )
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 4), (6, 7)], "id_a long, id_b long"
+        )
+        kept = sorted(
+            r["doc_id"]
+            for r in graph.dedup_keep_best(docs, pairs, "quality").collect()
+        )
+        # {1,2,4}: best score 0.9 shared by 2 and 4 -> lowest id 2 wins
+        # (NOT min-id 1, whose score is 0.2); {6,7}: tie -> 6; singleton 0
+        assert kept == [0, 2, 6]
+
+    def test_differs_from_min_id_canonical(self, spark):
+        docs = spark.createDataFrame(
+            [(1, 0.1), (2, 0.9)], "doc_id long, quality double"
+        )
+        pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+        best = [r["doc_id"] for r in graph.dedup_keep_best(docs, pairs, "quality").collect()]
+        canon = [r["doc_id"] for r in graph.dedup_keep_canonical(docs, pairs).collect()]
+        assert best == [2] and canon == [1]
