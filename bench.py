@@ -133,6 +133,10 @@ CONSUME: dict[str, list[str]] = {
         "count(*) AS n", "sum(n_lines_kept) AS a",  # CCNet line-hash dedup
         "sum(n_lines_dropped) AS b",                # + per-doc text rebuild
     ],
+    "token_budget": [
+        "count(*) AS n", "sum(n_chars) AS a",  # bucketed exact-budget cumsum
+        "sum(doc_id) AS b",
+    ],
 }
 
 BENCH_QUERIES = list(CONSUME)

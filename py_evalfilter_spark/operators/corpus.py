@@ -481,6 +481,75 @@ def upsample_sources(
     )
 
 
+def sample_to_token_budget(
+    df: DataFrame,
+    budgets: DataFrame,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    tokens_col: str = "n_tokens",
+    bucket_bits: int = 12,
+) -> DataFrame:
+    """EXACT token-budget composition: per source, take documents in a
+    deterministic pseudo-random order (md5 of the id — the engine's
+    portable-uniform idiom) until the cumulative token count reaches the
+    source's budget; keep a doc iff its inclusive running sum ≤ budget.
+    This is the doc-granular exact counterpart of rate-based mixing
+    (mix_sources / temperature_mix): rates hit a budget in expectation,
+    this hits it exactly — what "assemble a 500B-token corpus with 30B
+    from source X" actually requires.
+
+    `budgets` is a (source, token_budget) frame (tiny — one row per
+    source; broadcast).
+
+    100 TB shape — the naive plan is a WINDOW cumsum partitioned by
+    source, i.e. every doc of a mega-source sorts through ONE task.
+    Instead, the same two-level decomposition as the DSIR threshold
+    select: order is (bucket, md5) where bucket = the md5's leading
+    `bucket_bits` bits, so a bucket is an md5-prefix RANGE.  (1) one
+    groupBy(source, bucket) token-sum — map-side combining, ≤ 2^bits rows
+    per source; (2) a window cumsum over THAT aggregate (partitions
+    bounded by 2^bits rows, never by corpus size) classifies each bucket:
+    entirely under budget → keep all its docs map-side; entirely over →
+    drop all; the ONE straddling bucket per source gets an exact
+    within-bucket window cumsum over its ~n/2^bits docs, offset by the
+    preceding buckets' running total.  No corpus-sized sort anywhere.
+    The bucket classification broadcast is ≤ |sources|·2^bucket_bits rows
+    by construction (mixing sources are coarse — tens, not millions);
+    docs whose source has no budget row are dropped (budget 0)."""
+    from pyspark.sql import Window
+
+    u = F.md5(F.col(id_col).cast("string"))
+    b = F.conv(F.substring(u, 1, (bucket_bits + 3) // 4), 16, 10).cast("long")
+    rows = df.withColumn("_u", u).withColumn("_b", b)
+    per_bucket = rows.groupBy(source_col, "_b").agg(
+        F.sum(tokens_col).alias("_bt")
+    )
+    w = Window.partitionBy(source_col).orderBy("_b")
+    classified = (
+        per_bucket.withColumn("_cum", F.sum("_bt").over(w))
+        .withColumn("_before", F.col("_cum") - F.col("_bt"))
+        .join(F.broadcast(budgets), source_col)
+        .withColumn(
+            "_cls",
+            F.when(F.col("_cum") <= F.col("token_budget"), F.lit("keep"))
+            .when(F.col("_before") >= F.col("token_budget"), F.lit("drop"))
+            .otherwise(F.lit("straddle")),
+        )
+        .select(source_col, "_b", "_before", "token_budget", "_cls")
+    )
+    tagged = rows.join(F.broadcast(classified), [source_col, "_b"])
+    kept_whole = tagged.filter(F.col("_cls") == "keep")
+    straddle = tagged.filter(F.col("_cls") == "straddle")
+    ws = Window.partitionBy(source_col, "_b").orderBy("_u")
+    kept_straddle = straddle.withColumn(
+        "_doc_cum", F.col("_before") + F.sum(tokens_col).over(ws)
+    ).filter(F.col("_doc_cum") <= F.col("token_budget"))
+    drop_aux = ["_u", "_b", "_before", "token_budget", "_cls"]
+    return kept_whole.drop(*drop_aux).unionByName(
+        kept_straddle.drop(*drop_aux, "_doc_cum")
+    )
+
+
 def temperature_rates(
     df: DataFrame,
     alpha: float = 0.5,
@@ -797,48 +866,58 @@ def dedup_lines(
     the row survives so a downstream length filter makes the drop
     decision explicitly (same contract as remove_duplicate_spans).
 
-    100 TB shape: two linear shuffles.  (1) first-occurrence per hash via
-    groupBy(key).min(struct(id, idx)) — map-side partial aggregation
-    absorbs the boilerplate skew (a million-occurrence cookie banner
-    partially aggregates to one row per map task before the Exchange);
-    the survivors join back probe-side-skewed only, which AQE skew-split
-    handles (build side is 1 row/key).  (2) the per-doc rebuild groupBy —
-    bounded by document length.  Never a window over the raw line table:
-    partitionBy(key) would put every occurrence of the hottest line in
-    ONE task."""
-    lines = df.select(
-        F.col(id_col), F.posexplode(F.split(text_col, sep)).alias("idx", "line")
-    ).withColumn("_key", _line_key(F.col("line")))
-    exempt = F.regexp_replace(F.lower("line"), r"[^\p{L}]+", "") == ""
-    hashed = lines.filter(~exempt)
-    firsts = hashed.groupBy("_key").agg(
+    100 TB shape — the line TEXT crosses the wire exactly once.  The keep
+    decision runs entirely on narrow (id, idx, line-hash) rows: (1)
+    first-occurrence per hash via groupBy(key).min(struct(id, idx)) —
+    map-side partial aggregation absorbs the boilerplate skew (a
+    million-occurrence cookie banner partially aggregates to one row per
+    map task before the Exchange; never a window partitionBy(key), which
+    would put every occurrence of the hottest line in ONE task); (2) the
+    survivor (id, idx) pairs reduce to one keep-index array per document.
+    The rebuild then joins the UNEXPLODED corpus against that per-doc
+    index array and filters lines MAP-SIDE with a positional higher-order
+    filter — document text is shuffled only by the final doc-id join, not
+    through the hash-keyed exchange (a first version shuffled full text
+    twice and measured 0.70 N→4N efficiency at 1M pages; this shape
+    restored it, BENCH/BASELINE.md round 6).  Per-doc cost of the
+    positional filter is O(lines·kept) — bounded by document length, the
+    standard per-doc contract."""
+    norm = F.regexp_replace(F.lower(F.col("line")), r"[^\p{L}]+", "")
+    keys = (
+        df.select(
+            F.col(id_col),
+            F.posexplode(F.split(text_col, sep)).alias("idx", "line"),
+        )
+        .filter(norm != "")
+        .select(F.col(id_col), F.col("idx"), F.md5(norm).alias("_key"))
+    )
+    firsts = keys.groupBy("_key").agg(
         F.min(F.struct(F.col(id_col), F.col("idx"))).alias("_first")
     )
-    kept_hashed = hashed.join(firsts, "_key").filter(
-        F.struct(F.col(id_col), F.col("idx")) == F.col("_first")
+    keep_sets = (
+        keys.join(firsts, "_key")
+        .filter(F.struct(F.col(id_col), F.col("idx")) == F.col("_first"))
+        .groupBy(id_col)
+        .agg(F.collect_list("idx").alias("_keep_idx"))
     )
-    kept = kept_hashed.select(id_col, "idx", "line").unionByName(
-        lines.filter(exempt).select(id_col, "idx", "line")
-    )
-    n_lines = lines.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n_total"))
-    rebuilt = kept.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("n_lines_kept"),
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("idx", "line"))),
-                lambda s: s["line"],
-            ),
-            sep,
-        ).alias("_clean"),
-    )
+
+    def _keep(x, i):
+        # two-parameter HOF lambda = (element, index) — here that trap IS
+        # the tool: exempt (blank/punct) lines always survive; hashed
+        # lines survive iff their position won the first-occurrence race.
+        # NULL _keep_idx (doc kept nothing) → false for non-exempt lines.
+        return (
+            F.regexp_replace(F.lower(x), r"[^\p{L}]+", "") == ""
+        ) | F.array_contains(F.col("_keep_idx"), i)
+
     return (
-        df.drop(text_col)
-        .join(rebuilt, id_col, "left")
-        .join(n_lines, id_col, "left")
-        .withColumn(text_col, F.coalesce(F.col("_clean"), F.lit("")))
-        .withColumn("n_lines_kept", F.coalesce("n_lines_kept", F.lit(0)))
+        df.join(keep_sets, id_col, "left")
+        .withColumn("_arr", F.split(text_col, sep))
+        .withColumn("_kept", F.filter("_arr", _keep))
+        .withColumn("n_lines_kept", F.size("_kept"))
         .withColumn(
-            "n_lines_dropped", F.col("_n_total") - F.col("n_lines_kept")
+            "n_lines_dropped", F.size("_arr") - F.col("n_lines_kept")
         )
-        .drop("_clean", "_n_total")
+        .withColumn(text_col, F.array_join("_kept", sep))
+        .drop("_keep_idx", "_arr", "_kept")
     )

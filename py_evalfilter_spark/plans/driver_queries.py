@@ -1433,6 +1433,42 @@ JOIN totals t ON t.doc_id = m.doc_id
 """
 
 
+def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token-budget composition (corpus.sample_to_token_budget):
+    per source keep documents in deterministic md5 order until 40% of the
+    source's total chars is reached.  The Spark side runs the two-level
+    bucketed cumsum (no per-source global window); the oracle is the
+    naive full window cumsum — hash equality proves the decomposition
+    exact."""
+    from ..operators import corpus
+
+    docs = _read(spark, sf_dir, "documents")
+    budgets = docs.groupBy("source").agg(
+        F.floor(F.sum("n_chars") * 0.4).cast("long").alias("token_budget")
+    )
+    return corpus.sample_to_token_budget(
+        docs.select("doc_id", "source", "n_chars"),
+        budgets,
+        tokens_col="n_chars",
+    ).select("doc_id", "source", "n_chars")
+
+
+SQL_TOKEN_BUDGET = """
+WITH budgets AS (
+  SELECT source, CAST(FLOOR(SUM(n_chars) * 0.4) AS BIGINT) AS token_budget
+  FROM documents GROUP BY source
+),
+ordered AS (
+  SELECT d.doc_id, d.source, d.n_chars, b.token_budget,
+         SUM(d.n_chars) OVER (
+           PARTITION BY d.source ORDER BY md5(CAST(d.doc_id AS VARCHAR))
+         ) AS cum
+  FROM documents d JOIN budgets b USING (source)
+)
+SELECT doc_id, source, n_chars FROM ordered WHERE cum <= token_budget
+"""
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs on the dup-injected corpus.  At
     max_hamming=3 the 4x16-bit band blocking is pigeonhole-EXHAUSTIVE
@@ -2962,6 +2998,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # (perplexity_buckets..semdedup) > long-green r1-r5 core at the tail.
     "line_dedup": q_line_dedup,
     "dedup_best": q_dedup_best,
+    "token_budget": q_token_budget,
     "media_digest_dedup": q_media_digest_dedup,
     "media_embedding_neardup": q_media_embedding_neardup,
     "dedup_incremental": q_dedup_incremental,
@@ -3047,6 +3084,7 @@ ORACLES: dict[str, str] = {
     # individually oracled below).
     "line_dedup": SQL_LINE_DEDUP,
     "dedup_best": SQL_DEDUP_BEST,
+    "token_budget": SQL_TOKEN_BUDGET,
     "media_digest_dedup": SQL_MEDIA_DIGEST_DEDUP,
     "media_embedding_neardup": SQL_MEDIA_EMBEDDING_NEARDUP,
     "dedup_incremental": SQL_DEDUP_INCREMENTAL,

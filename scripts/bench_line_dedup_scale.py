@@ -22,32 +22,24 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def main() -> None:
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--pages", type=int, default=1_000_000)
-    ap.add_argument("--templates", type=int, default=20)
-    ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
-    ap.add_argument("--cpus", type=int,
-                    default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
-    args = ap.parse_args()
-
-    os.environ.setdefault("SPARK_DRIVER_MEMORY", "24g")
-
+def synthesize_pages(
+    spark, sf_dir: str, out_path: str, pages: int, templates: int,
+    partitions: int,
+) -> tuple[int, int]:
+    """Write the boilerplate-skewed page corpus; returns (n_pages, n_base).
+    Shared by the 1M robustness run and the scaling pair (same corpus
+    discipline as bench_curation_scale.synthesize_replicated_corpus)."""
     from pyspark.sql import functions as F
 
-    from py_evalfilter_spark.operators import corpus
-    from py_evalfilter_spark.session import get_spark
-
-    spark = get_spark(master=f"local[{args.cpus}]", shuffle_partitions=2 * args.cpus)
-    base = spark.read.parquet(f"{args.sf_dir}/documents.parquet").select(
+    base = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
         "doc_id", "text"
     )
     n_base = base.count()
-    mult = max(1, args.pages // n_base)
-    t = args.templates
-    # header/footer cycle over t templates; middle lines are page-unique
-    pages = (
-        base.repartition(4 * args.cpus)
+    mult = max(1, pages // n_base)
+    t = templates
+    # header/footer cycle over t templates; middle lines carry the page id
+    out = (
+        base.repartition(partitions)
         .withColumn("rep", F.explode(F.sequence(F.lit(0), F.lit(mult - 1))))
         .select(
             (F.col("doc_id") + F.col("rep") * 10_000_000).alias("doc_id"),
@@ -65,7 +57,32 @@ def main() -> None:
             ).alias("text"),
         )
     )
-    pages.write.mode("overwrite").parquet("/tmp/line_dedup_pages.parquet")
+    out.write.mode("overwrite").parquet(out_path)
+    return mult * n_base, n_base
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--pages", type=int, default=1_000_000)
+    ap.add_argument("--templates", type=int, default=20)
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
+    ap.add_argument("--cpus", type=int,
+                    default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    args = ap.parse_args()
+
+    os.environ.setdefault("SPARK_DRIVER_MEMORY", "24g")
+
+    from pyspark.sql import functions as F
+
+    from py_evalfilter_spark.operators import corpus
+    from py_evalfilter_spark.session import get_spark
+
+    spark = get_spark(master=f"local[{args.cpus}]", shuffle_partitions=2 * args.cpus)
+    t = args.templates
+    _, n_base = synthesize_pages(
+        spark, args.sf_dir, "/tmp/line_dedup_pages.parquet",
+        args.pages, t, 4 * args.cpus,
+    )
     pages = spark.read.parquet("/tmp/line_dedup_pages.parquet")
     n_pages = pages.count()
 

@@ -115,6 +115,81 @@ class TestLineDedup:
         assert "HashAggregate" in plan
 
 
+class TestSampleToTokenBudget:
+    def _docs(self, spark, n=200):
+        return spark.createDataFrame(
+            [(i, "a" if i % 2 == 0 else "b", 10 + i % 7) for i in range(n)],
+            "doc_id long, source string, n_tokens long",
+        )
+
+    def _naive(self, docs_pdf, budgets):
+        """Reference: full per-source cumsum in md5 order."""
+        import hashlib
+
+        kept = set()
+        for src, grp in docs_pdf.groupby("source"):
+            order = sorted(
+                grp.itertuples(),
+                key=lambda r: hashlib.md5(str(r.doc_id).encode()).hexdigest(),
+            )
+            cum = 0
+            for r in order:
+                cum += r.n_tokens
+                if cum <= budgets[src]:
+                    kept.add(r.doc_id)
+        return kept
+
+    def test_exact_vs_naive_cumsum(self, spark):
+        docs = self._docs(spark)
+        budgets = {"a": 400, "b": 700}
+        bdf = spark.createDataFrame(
+            list(budgets.items()), "source string, token_budget long"
+        )
+        got = {
+            r["doc_id"]
+            for r in corpus_ops.sample_to_token_budget(docs, bdf).collect()
+        }
+        assert got == self._naive(docs.toPandas(), budgets)
+        assert got  # non-vacuous
+
+    def test_bucket_decomposition_invariant(self, spark):
+        """The two-level bucketed plan must be EXACT for any bucket width:
+        2 bits (straddle bucket carries most docs) through 16 bits
+        (most buckets singleton) all agree."""
+        docs = self._docs(spark, n=120)
+        bdf = spark.createDataFrame(
+            [("a", 300), ("b", 450)], "source string, token_budget long"
+        )
+        outs = [
+            frozenset(
+                r["doc_id"]
+                for r in corpus_ops.sample_to_token_budget(
+                    docs, bdf, bucket_bits=bits
+                ).collect()
+            )
+            for bits in (2, 8, 16)
+        ]
+        assert outs[0] == outs[1] == outs[2] and outs[0]
+
+    def test_budget_is_exact_not_expected(self, spark):
+        docs = self._docs(spark)
+        bdf = spark.createDataFrame(
+            [("a", 500), ("b", 500)], "source string, token_budget long"
+        )
+        out = corpus_ops.sample_to_token_budget(docs, bdf).toPandas()
+        per_src = out.groupby("source")["n_tokens"].sum()
+        # inclusive-sum rule: total never exceeds the budget, and adding
+        # any one more (min-size) doc would cross it
+        assert (per_src <= 500).all()
+        assert (per_src > 500 - 17).all()  # max token size is 16
+
+    def test_unbudgeted_source_dropped(self, spark):
+        docs = self._docs(spark)
+        bdf = spark.createDataFrame([("a", 300)], "source string, token_budget long")
+        out = corpus_ops.sample_to_token_budget(docs, bdf).toPandas()
+        assert set(out.source) == {"a"}
+
+
 class TestDecontamination:
     def test_flags_shared_ngram(self, spark):
         bench = spark.createDataFrame(

@@ -350,6 +350,62 @@ class TestStreamingNearDup:
         # the unrelated doc never pairs
         assert not any(6 in p for p in cands)
 
+    def test_incremental_sink_matches_batch_operator(self, spark, tmp_path):
+        """foreachBatch incremental near-dup (signature-store design,
+        BENCH/BASELINE.md r6): union of per-batch verified pairs must
+        EQUAL the batch operator's full pair set — every pair is emitted
+        by the batch its later member arrives in, exactly once, with the
+        same jaccard."""
+        from pyspark.sql import functions as F
+
+        from py_evalfilter_spark.operators import dedup
+        from py_evalfilter_spark.streaming import neardup
+
+        texts = {
+            1: "the quick brown fox jumps over the lazy dog tonight",
+            2: "the quick brown fox jumps over the lazy dog tonight",
+            3: "the quick brown fox jumps over the lazy cat tonight",
+            4: "partition pruning and predicate pushdown in parquet scans everywhere",
+            5: "partition pruning and predicate pushdown in parquet scans everywhere",
+            6: "a completely different document about cooking pasta recipes",
+            7: "structured streaming state stores and watermarks explained",
+        }
+        pdf = pd.DataFrame({"doc_id": list(texts), "text": list(texts.values())})
+        sdf = spark.createDataFrame(pdf)
+        src = str(tmp_path / "incr_docs")
+        # dup pairs straddle batches: (1,2) across f1/f2, (4,5) across f1/f3;
+        # (1,3) and (2,3) exercise new-vs-standing AND new-vs-new
+        sdf.filter(F.col("doc_id").isin(1, 4, 6)).coalesce(1).write.parquet(f"{src}/f=1")
+        sdf.filter(F.col("doc_id").isin(2, 3)).coalesce(1).write.parquet(f"{src}/f=2")
+        sdf.filter(F.col("doc_id").isin(5, 7)).coalesce(1).write.parquet(f"{src}/f=3")
+
+        store = str(tmp_path / "incr_store")
+        stream = (
+            spark.readStream.schema(sdf.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/f=*")
+        )
+        q = (
+            stream.writeStream.foreachBatch(
+                neardup.incremental_neardup_sink(store, threshold=0.7, unit="char")
+            )
+            .option("checkpointLocation", str(tmp_path / "incr_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+        got = spark.read.parquet(f"{store}/pairs").drop("batch").toPandas()
+        want = dedup.minhash_lsh_pairs(
+            sdf, "doc_id", "text", threshold=0.7
+        ).toPandas()
+        key = lambda df: {
+            (a, b): j for a, b, j in zip(df.doc_id, df.dup_id, df.jaccard)
+        }
+        assert key(got) == key(want)
+        assert len(got) == len(got.drop_duplicates(["doc_id", "dup_id"]))
+        assert (1, 2) in key(got) and (4, 5) in key(got)  # cross-batch pairs
+
     def test_replayed_docs_do_not_duplicate_pairs(self, spark, tmp_path):
         """At-least-once replay (ADVICE r4): redelivering the same docs in
         a later micro-batch must add NOTHING — no duplicate state entries,
