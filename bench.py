@@ -137,6 +137,14 @@ CONSUME: dict[str, list[str]] = {
         "count(*) AS n", "sum(n_chars) AS a",  # bucketed exact-budget cumsum
         "sum(doc_id) AS b",
     ],
+    "c4_filter": [
+        "count(*) AS n", "sum(n_lines_kept) AS a",  # map-only C4 rules
+        "sum(n_sentences) AS b",
+    ],
+    "gopher_quality": [
+        "count(*) AS n", "sum(n_words) AS a",  # map-only Gopher quality
+        "sum(stopword_hits) AS b",
+    ],
 }
 
 BENCH_QUERIES = list(CONSUME)

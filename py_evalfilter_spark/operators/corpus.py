@@ -481,6 +481,134 @@ def upsample_sources(
     )
 
 
+def c4_filter(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words_per_line: int = 3,
+    min_sentences: int = 5,
+    sep: str = "\n",
+) -> DataFrame:
+    """The C4 cleaning rules (Raffel et al. 2020, "Exploring the Limits of
+    Transfer Learning", §2.2), map-only — ZERO shuffle: line-level, keep
+    only lines that end in a terminal punctuation mark (. ! ? "), contain
+    ≥ `min_words_per_line` words, and don't mention javascript; page-level,
+    drop pages with fewer than `min_sentences` surviving sentences, any
+    curly bracket, or the phrase "lorem ipsum".
+
+    Returns every input row with the rewritten text, the per-doc counters,
+    and the page-level `keep` flag — the caller chooses filter(keep) vs
+    auditing the drop reasons (same contract as repetition_stats →
+    filter_repetitive)."""
+    line_ok = lambda x: (
+        x.rlike(r'[.!?"]\s*$')
+        & (F.size(F.filter(F.split(F.trim(x), r"\s+"), lambda w: w != ""))
+           >= min_words_per_line)
+        & ~F.lower(x).contains("javascript")
+    )
+    kept_arr = F.filter(F.split(F.col(text_col), sep), line_ok)
+    d = (
+        df.withColumn("_kept", kept_arr)
+        .withColumn("n_lines_kept", F.size("_kept"))
+        .withColumn("clean_text", F.array_join("_kept", sep))
+        .withColumn(
+            "n_sentences",
+            F.size(F.filter(
+                F.split(F.col("clean_text"), r'[.!?"]+'),
+                lambda s: F.trim(s) != "",
+            )),
+        )
+        .withColumn(
+            "keep",
+            (F.col("n_sentences") >= min_sentences)
+            & ~F.col("clean_text").contains("{")
+            & ~F.col("clean_text").contains("}")
+            & ~F.lower("clean_text").contains("lorem ipsum"),
+        )
+    )
+    return d.drop("_kept", text_col).withColumnRenamed("clean_text", text_col)
+
+
+def gopher_quality(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    min_alpha_word_frac: float = 0.8,
+    min_stopword_hits: int = 2,
+    stopwords: tuple[str, ...] = (
+        "the", "be", "to", "of", "and", "that", "have", "with",
+    ),
+) -> DataFrame:
+    """The Gopher document-quality rules (Rae et al. 2021, appendix A1.1)
+    that are NOT the repetition family (see repetition_stats for those):
+    word count in [min_words, max_words]; mean word length in [3, 10];
+    symbol-to-word ratio (# and … ) ≤ 0.1; ≥ 80% of words contain an
+    alphabetic character; and at least `min_stopword_hits` distinct hits
+    from the stop-word probe (default = the paper's canonical English
+    eight; pass a language/domain-appropriate set otherwise).  Map-only —
+    one projection, zero shuffle; every metric is emitted so the keep
+    decision is auditable."""
+    words = F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != "")
+    d = (
+        df.withColumn("_w", words)
+        .withColumn("n_words", F.size("_w"))
+        .withColumn(
+            "mean_word_len",
+            F.when(
+                F.col("n_words") > 0,
+                F.aggregate(
+                    "_w", F.lit(0), lambda acc, w: acc + F.length(w)
+                ) / F.col("n_words"),
+            ).otherwise(F.lit(0.0)),
+        )
+        .withColumn(
+            "symbol_ratio",
+            F.when(
+                F.col("n_words") > 0,
+                (
+                    F.length(F.col(text_col))
+                    - F.length(F.regexp_replace(text_col, r"[#…]", ""))
+                ) / F.col("n_words"),
+            ).otherwise(F.lit(0.0)),
+        )
+        .withColumn(
+            "alpha_word_frac",
+            F.when(
+                F.col("n_words") > 0,
+                F.size(F.filter("_w", lambda w: w.rlike(r"\p{L}")))
+                / F.col("n_words"),
+            ).otherwise(F.lit(0.0)),
+        )
+        # lowercased words projected to a NAMED column before the lambda
+        # references it (HOF lambdas get no subexpression elimination —
+        # the O(words²) trap, operators/corpus.py _ngrams_of)
+        .withColumn("_wl", F.transform("_w", lambda w: F.lower(w)))
+        .withColumn(
+            "stopword_hits",
+            F.size(F.filter(
+                F.array(*[F.lit(s) for s in stopwords]),
+                lambda s: F.array_contains(F.col("_wl"), s),
+            )),
+        )
+        .withColumn(
+            "keep",
+            F.col("n_words").between(min_words, max_words)
+            & F.col("mean_word_len").between(
+                min_mean_word_len, max_mean_word_len
+            )
+            & (F.col("symbol_ratio") <= max_symbol_ratio)
+            & (F.col("alpha_word_frac") >= min_alpha_word_frac)
+            & (F.col("stopword_hits") >= min_stopword_hits),
+        )
+    )
+    return d.drop("_w", "_wl")
+
+
 def sample_to_token_budget(
     df: DataFrame,
     budgets: DataFrame,

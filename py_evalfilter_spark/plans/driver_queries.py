@@ -1469,6 +1469,134 @@ SELECT doc_id, source, n_chars FROM ordered WHERE cum <= token_budget
 """
 
 
+def q_c4_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 cleaning rules (corpus.c4_filter, Raffel 2020 §2.2) over
+    two-line pages built so every rule fires on SOME doc: line 1 gains a
+    terminal period on doc_id%3==0 only (the punct rule), line 2 is
+    either a javascript banner (doc_id%5==0) or the next doc's text with
+    a terminal '!' — map-only, zero shuffle after the page build."""
+    from ..operators import corpus
+
+    docs = _read(spark, sf_dir, "documents")
+    nxt = docs.select(
+        (F.col("doc_id") - 1).alias("doc_id"), F.col("text").alias("_t2")
+    )
+    line1 = F.when(
+        F.col("doc_id") % 3 == 0, F.concat(F.col("text"), F.lit("."))
+    ).otherwise(F.col("text"))
+    line2 = F.when(
+        F.col("doc_id") % 5 == 0,
+        F.lit("please enable javascript to continue."),
+    ).otherwise(F.concat(F.coalesce(F.col("_t2"), F.lit("")), F.lit(" ok!")))
+    multi = docs.join(nxt, "doc_id", "left").select(
+        "doc_id", F.concat_ws("\n", line1, line2).alias("text")
+    )
+    return corpus.c4_filter(multi, min_sentences=2).select(
+        "doc_id", "text", "n_lines_kept", "n_sentences", "keep"
+    )
+
+
+SQL_C4_FILTER = """
+WITH multi AS (
+  SELECT d.doc_id,
+         (CASE WHEN d.doc_id % 3 = 0 THEN d.text || '.' ELSE d.text END)
+         || chr(10) ||
+         (CASE WHEN d.doc_id % 5 = 0
+               THEN 'please enable javascript to continue.'
+               ELSE COALESCE(n.text, '') || ' ok!' END) AS text
+  FROM documents d LEFT JOIN documents n ON n.doc_id = d.doc_id + 1
+),
+cleaned AS (
+  SELECT doc_id,
+         list_filter(
+           string_split(text, chr(10)),
+           x -> regexp_matches(x, '[.!?"]\\s*$')
+                AND len(list_filter(regexp_split_to_array(trim(x), '\\s+'),
+                                    w -> w <> '')) >= 3
+                AND NOT contains(lower(x), 'javascript')
+         ) AS kept
+  FROM multi
+),
+pages AS (
+  SELECT doc_id,
+         COALESCE(array_to_string(kept, chr(10)), '') AS text,
+         CAST(len(kept) AS INT) AS n_lines_kept
+  FROM cleaned
+)
+SELECT doc_id, text, n_lines_kept,
+       CAST(len(list_filter(regexp_split_to_array(text, '[.!?"]+'),
+                            s -> trim(s) <> '')) AS INT) AS n_sentences,
+       (len(list_filter(regexp_split_to_array(text, '[.!?"]+'),
+                        s -> trim(s) <> '')) >= 2
+        AND NOT contains(text, '{') AND NOT contains(text, '}')
+        AND NOT contains(lower(text), 'lorem ipsum')) AS keep
+FROM pages
+"""
+
+
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher doc-quality rules (corpus.gopher_quality, Rae 2021 A1.1) —
+    the non-repetition family: word-count bounds, mean word length,
+    symbol ratio, alpha-word fraction, stop-word probe.  Map-only."""
+    from ..operators import corpus
+
+    docs = _read(spark, sf_dir, "documents")
+    out = corpus.gopher_quality(
+        docs.select("doc_id", "text"),
+        min_words=20,
+        # the synthetic corpus's own function-word analogue of the paper's
+        # English probe (the corpus contains 'the'/'a' but only one of the
+        # canonical eight — an all-English probe would be vacuous here)
+        stopwords=("the", "a", "table", "value", "row", "scan"),
+    )
+    return out.select(
+        "doc_id",
+        "n_words",
+        F.round("mean_word_len", 4).alias("mean_word_len"),
+        F.round("symbol_ratio", 4).alias("symbol_ratio"),
+        F.round("alpha_word_frac", 4).alias("alpha_word_frac"),
+        "stopword_hits",
+        "keep",
+    )
+
+
+SQL_GOPHER_QUALITY = """
+WITH w AS (
+  SELECT doc_id, text,
+         list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS words
+  FROM documents
+),
+m AS (
+  SELECT doc_id, text, words, CAST(len(words) AS INT) AS n_words,
+         CASE WHEN len(words) > 0 THEN
+           CAST(list_sum(list_transform(words, x -> length(x))) AS DOUBLE)
+             / len(words) ELSE 0.0 END AS mean_word_len,
+         CASE WHEN len(words) > 0 THEN
+           CAST(length(text) - length(regexp_replace(text, '[#…]', '', 'g'))
+                AS DOUBLE) / len(words) ELSE 0.0 END AS symbol_ratio,
+         CASE WHEN len(words) > 0 THEN
+           CAST(len(list_filter(words, x -> regexp_matches(x, '\\p{L}')))
+                AS DOUBLE) / len(words) ELSE 0.0 END AS alpha_word_frac,
+         CAST(len(list_filter(
+           ['the','a','table','value','row','scan'],
+           s -> list_contains(list_transform(words, x -> lower(x)), s)
+         )) AS INT) AS stopword_hits
+  FROM w
+)
+SELECT doc_id, n_words,
+       ROUND(mean_word_len, 4) AS mean_word_len,
+       ROUND(symbol_ratio, 4) AS symbol_ratio,
+       ROUND(alpha_word_frac, 4) AS alpha_word_frac,
+       stopword_hits,
+       (n_words BETWEEN 20 AND 100000
+        AND mean_word_len BETWEEN 3.0 AND 10.0
+        AND symbol_ratio <= 0.1
+        AND alpha_word_frac >= 0.8
+        AND stopword_hits >= 2) AS keep
+FROM m
+"""
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs on the dup-injected corpus.  At
     max_hamming=3 the 4x16-bit band blocking is pigeonhole-EXHAUSTIVE
@@ -2999,6 +3127,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "line_dedup": q_line_dedup,
     "dedup_best": q_dedup_best,
     "token_budget": q_token_budget,
+    "c4_filter": q_c4_filter,
+    "gopher_quality": q_gopher_quality,
     "media_digest_dedup": q_media_digest_dedup,
     "media_embedding_neardup": q_media_embedding_neardup,
     "dedup_incremental": q_dedup_incremental,
@@ -3085,6 +3215,8 @@ ORACLES: dict[str, str] = {
     "line_dedup": SQL_LINE_DEDUP,
     "dedup_best": SQL_DEDUP_BEST,
     "token_budget": SQL_TOKEN_BUDGET,
+    "c4_filter": SQL_C4_FILTER,
+    "gopher_quality": SQL_GOPHER_QUALITY,
     "media_digest_dedup": SQL_MEDIA_DIGEST_DEDUP,
     "media_embedding_neardup": SQL_MEDIA_EMBEDDING_NEARDUP,
     "dedup_incremental": SQL_DEDUP_INCREMENTAL,

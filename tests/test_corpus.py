@@ -115,6 +115,65 @@ class TestLineDedup:
         assert "HashAggregate" in plan
 
 
+class TestC4Filter:
+    def test_line_and_page_rules(self, spark):
+        docs = spark.createDataFrame(
+            [
+                # good page: 3 terminal-punct lines with >=3 words
+                (1, "This line ends properly.\nAnother full sentence here!\n"
+                    'He said "stop right there."'),
+                # line rules: no terminal punct / too few words / javascript
+                (2, "no terminal punctuation here\nToo few.\n"
+                    "enable javascript to view this page.\n"
+                    "This survives the line filters today."),
+                # page rules: curly brace kills it despite clean lines
+                (3, "A fine sentence stands here. Another one follows it. "
+                    "And a third { with a brace."),
+                # lorem ipsum kills the page
+                (4, "Lorem ipsum dolor sit amet sentence one. Sentence two "
+                    "is here. Sentence three closes."),
+            ],
+            "doc_id long, text string",
+        )
+        out = {r["doc_id"]: r for r in corpus_ops.c4_filter(docs, min_sentences=2).collect()}
+        assert out[1]["keep"] and out[1]["n_lines_kept"] == 3
+        # doc 2: only the last line survives -> 1 sentence -> page dropped
+        assert out[2]["n_lines_kept"] == 1
+        assert out[2]["text"] == "This survives the line filters today."
+        assert not out[2]["keep"]
+        assert not out[3]["keep"]  # curly brace
+        assert not out[4]["keep"]  # lorem ipsum
+        # map-only contract: zero Exchange in the plan
+        plan = _plan(corpus_ops.c4_filter(docs))
+        assert "Exchange" not in plan
+
+
+class TestGopherQuality:
+    def test_rules_and_metrics(self, spark):
+        good = ("the data pipeline reads documents and filters them with "
+                "care so that every model trained on the corpus can have "
+                "clean text to learn from and be useful " * 2)
+        docs = spark.createDataFrame(
+            [
+                (1, good),                       # passes everything
+                (2, "short text only"),          # too few words
+                (3, "#### " * 60),               # symbol ratio + no alpha
+                (4, ("12 34 56 78 90 " * 12)),   # alpha fraction 0
+            ],
+            "doc_id long, text string",
+        )
+        out = {
+            r["doc_id"]: r
+            for r in corpus_ops.gopher_quality(docs, min_words=20).collect()
+        }
+        assert out[1]["keep"] and out[1]["stopword_hits"] >= 2
+        assert not out[2]["keep"] and out[2]["n_words"] == 3
+        assert not out[3]["keep"] and out[3]["symbol_ratio"] > 0.1
+        assert not out[4]["keep"] and out[4]["alpha_word_frac"] == 0.0
+        plan = _plan(corpus_ops.gopher_quality(docs))
+        assert "Exchange" not in plan
+
+
 class TestSampleToTokenBudget:
     def _docs(self, spark, n=200):
         return spark.createDataFrame(
