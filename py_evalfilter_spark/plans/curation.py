@@ -120,12 +120,17 @@ def curate_corpus(
     sf_dir: str,
     *,
     quality_min: float = 0.5,
+    c4_rules: bool = False,
+    gopher_min_words: int | None = None,
+    gopher_stopwords: tuple[str, ...] | None = None,
     classifier_min: float | None = None,
+    line_dedup: bool = False,
     minhash_threshold: float = 0.8,
     semantic_threshold: float | None = None,
     substring_n: int | None = None,
     decontam_n: int = 6,
     rates: dict[str, float] | None = None,
+    source_token_budget: int | None = None,
     budget: int = 256,
     benchmark_source: str = "src0",
     observations: dict[str, Observation] | None = None,
@@ -165,6 +170,31 @@ def curate_corpus(
     # single-job equivalent.  Eviction: the `pins` scope (pinning.py);
     # without one, frames stay in the session cache under LRU.
 
+    # 0 (optional): the published structural cleanups — C4's line/page
+    # rules and Gopher's doc-quality rules.  Both are MAP-ONLY, so they
+    # run before anything that shuffles: every Exchange downstream sees
+    # fewer, cleaner rows.
+    if c4_rules:
+        corpus = obs(
+            corpus_ops.c4_filter(corpus)
+            .filter(F.col("keep"))
+            .drop("n_lines_kept", "n_sentences", "keep"),
+            "c4",
+        )
+    if gopher_min_words is not None:
+        gq_kw = {"min_words": gopher_min_words}
+        if gopher_stopwords is not None:
+            gq_kw["stopwords"] = gopher_stopwords
+        corpus = obs(
+            corpus_ops.gopher_quality(corpus, **gq_kw)
+            .filter(F.col("keep"))
+            .drop(
+                "n_words", "mean_word_len", "symbol_ratio",
+                "alpha_word_frac", "stopword_hits", "keep",
+            ),
+            "gopher",
+        )
+
     # 1-2: per-row quality + repetition filters (JVM expressions / one
     # tagged explode) — run FIRST so every later shuffle sees fewer rows
     quality = _p(obs(_quality_filter(corpus, quality_min), "quality"), pins)
@@ -181,6 +211,22 @@ def curate_corpus(
 
     # 3: PII scrub (counts kept as features, text redacted in place)
     scrubbed = _p(pii.scrub_pii(repeated), pins)
+
+    # 3b (optional): CCNet corpus-wide line dedup — kills cross-page
+    # boilerplate BEFORE doc-level dedup so exact/MinHash stages compare
+    # the residual content, not shared headers.  Text crosses the wire
+    # once (operators/corpus.dedup_lines plan notes); pinned because the
+    # dedup stages below consume their input twice.
+    if line_dedup:
+        scrubbed = _p(
+            obs(
+                corpus_ops.dedup_lines(scrubbed).drop(
+                    "n_lines_kept", "n_lines_dropped"
+                ),
+                "line_dedup",
+            ),
+            pins,
+        )
 
     # 4-5: exact dedup + MinHash near-dup clustering (shared _lexical_dedup;
     # pairs chain A~B, B~C, so one canonical doc per component is kept
@@ -236,6 +282,22 @@ def curate_corpus(
     mixed = (
         obs(corpus_ops.mix_sources(clean, rates), "mix") if rates else clean
     )
+
+    # 7b (optional): EXACT per-source token budget (chars as the token
+    # proxy, same as pack_sequences) — rate-based mixing hits budgets in
+    # expectation, this caps them exactly (corpus.sample_to_token_budget's
+    # bucketed cumsum, no per-source global sort)
+    if source_token_budget is not None:
+        budgets = (
+            mixed.select("source").distinct()
+            .withColumn("token_budget", F.lit(source_token_budget))
+        )
+        mixed = obs(
+            corpus_ops.sample_to_token_budget(
+                mixed, budgets, tokens_col="n_chars"
+            ),
+            "token_budget",
+        )
 
     # 8: pack into fixed-token-budget training windows
     return corpus_ops.pack_sequences(mixed, budget=budget)

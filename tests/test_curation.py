@@ -41,6 +41,41 @@ class TestCuration:
         assert len(rows) == counts["mix"]
         assert len(rows) > 100  # the pipeline must not collapse the corpus
 
+    def test_extended_r6_stages_compose(self, spark):
+        """The four r6 opt-in stages (C4 rules, Gopher quality, line
+        dedup, exact per-source token budget) compose with the default
+        flow: stage counts stay monotone, every source respects the exact
+        char budget, and the pipeline doesn't collapse."""
+        obs: dict = {}
+        out = curation.curate_corpus(
+            spark,
+            SF,
+            c4_rules=False,  # the synthetic corpus has no terminal punct —
+                             # C4's line rule would drop everything; its
+                             # composition is covered by q_c4_filter + the
+                             # unit tests, and gopher exercises stage-0 here
+            gopher_min_words=10,
+            gopher_stopwords=("the", "a", "table", "value", "row", "scan"),
+            line_dedup=True,
+            source_token_budget=4000,
+            observations=obs,
+        )
+        rows = out.collect()
+        counts = {k: o.get["rows"] for k, o in obs.items()}
+        order = ["input", "gopher", "quality", "repetition", "line_dedup",
+                 "exact_dedup", "near_dedup", "decontaminate", "token_budget"]
+        vals = [counts[s] for s in order]
+        assert vals == sorted(vals, reverse=True), counts
+        assert counts["line_dedup"] == counts["repetition"]  # rewrites, no drops
+        assert len(rows) > 50
+        # exact budget: per-source char totals never exceed the cap
+        import collections
+
+        per_src = collections.Counter()
+        for r in rows:
+            per_src[r["source"]] += r["n_chars"]
+        assert all(v <= 4000 for v in per_src.values()), per_src
+
     def test_no_benchmark_source_and_budget_respected(self, curated):
         rows, _ = curated
         assert all(r["source"] != "src0" for r in rows)
