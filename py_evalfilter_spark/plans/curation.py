@@ -329,12 +329,17 @@ def curate_corpus_staged(
     out_dir: str,
     *,
     quality_min: float = 0.5,
+    c4_rules: bool = False,
+    gopher_min_words: int | None = None,
+    gopher_stopwords: tuple[str, ...] | None = None,
     classifier_min: float | None = None,
+    line_dedup: bool = False,
     minhash_threshold: float = 0.8,
     semantic_threshold: float | None = None,
     substring_n: int | None = None,
     decontam_n: int = 6,
     rates: dict[str, float] | None = None,
+    source_token_budget: int | None = None,
     budget: int = 256,
     benchmark_source: str = "src0",
 ) -> tuple[DataFrame, dict]:
@@ -384,18 +389,47 @@ def curate_corpus_staged(
         corpus = docs.filter(F.col("source") != benchmark_source).repartition(
             input_partitions(spark)
         )
+        if c4_rules:
+            corpus = (
+                corpus_ops.c4_filter(corpus)
+                .filter(F.col("keep"))
+                .drop("n_lines_kept", "n_sentences", "keep")
+            )
+        if gopher_min_words is not None:
+            gq_kw = {"min_words": gopher_min_words}
+            if gopher_stopwords is not None:
+                gq_kw["stopwords"] = gopher_stopwords
+            corpus = (
+                corpus_ops.gopher_quality(corpus, **gq_kw)
+                .filter(F.col("keep"))
+                .drop(
+                    "n_words", "mean_word_len", "symbol_ratio",
+                    "alpha_word_frac", "stopword_hits", "keep",
+                )
+            )
         quality = _quality_filter(corpus, quality_min)
         if classifier_min is not None:
             quality = textanalysis.filter_by_classifier(
                 quality, threshold=classifier_min
             )
-        return pii.scrub_pii(corpus_ops.filter_repetitive(quality))
+        scrubbed = pii.scrub_pii(corpus_ops.filter_repetitive(quality))
+        if line_dedup:
+            scrubbed = stage_pins.pin(
+                corpus_ops.dedup_lines(scrubbed).drop(
+                    "n_lines_kept", "n_lines_dropped"
+                )
+            )
+        return scrubbed
 
     filtered = stage(
         "filtered",
         {
             "quality_min": quality_min,
+            "c4_rules": c4_rules,
+            "gopher_min_words": gopher_min_words,
+            "gopher_stopwords": list(gopher_stopwords or ()),
             "classifier_min": classifier_min,
+            "line_dedup": line_dedup,
             "benchmark_source": benchmark_source,
         },
         build_filtered,
@@ -438,6 +472,14 @@ def curate_corpus_staged(
         )
         clean = corpus_ops.decontaminate(deduped, benchmark, n=decontam_n)
         mixed = corpus_ops.mix_sources(clean, rates) if rates else clean
+        if source_token_budget is not None:
+            budgets = (
+                mixed.select("source").distinct()
+                .withColumn("token_budget", F.lit(source_token_budget))
+            )
+            mixed = corpus_ops.sample_to_token_budget(
+                mixed, budgets, tokens_col="n_chars"
+            )
         return corpus_ops.pack_sequences(mixed, budget=budget)
 
     packed = stage(
@@ -447,6 +489,7 @@ def curate_corpus_staged(
             "benchmark_source": benchmark_source,
             "decontam_n": decontam_n,
             "rates": rates,
+            "source_token_budget": source_token_budget,
             "budget": budget,
         },
         build_packed,

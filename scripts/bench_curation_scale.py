@@ -178,6 +178,19 @@ def main() -> None:
         "word-n-gram length (r5 stage; corpus-wide gram frequency window + "
         "per-doc rebuild — the heaviest new stage, scale-proved here)",
     )
+    ap.add_argument(
+        "--gopher-min-words", type=int, default=None,
+        help="enable the Gopher doc-quality stage (r6; map-only, probes "
+        "the synthetic corpus's own function words)",
+    )
+    ap.add_argument(
+        "--line-dedup", action="store_true",
+        help="enable the CCNet corpus-wide line-dedup stage (r6)",
+    )
+    ap.add_argument(
+        "--source-token-budget", type=int, default=None,
+        help="enable the exact per-source char-budget stage (r6)",
+    )
     args = ap.parse_args()
 
     # Memory discipline for the 10M-doc run, learned from an OOM-killed
@@ -223,11 +236,22 @@ def main() -> None:
         n_packed = packed.count()
         counts = {name: m.get("rows") for name, m in manifests.items()}
     else:
+        r6_kw = {}
+        if args.gopher_min_words is not None:
+            r6_kw.update(
+                gopher_min_words=args.gopher_min_words,
+                gopher_stopwords=("the", "a", "table", "value", "row", "scan"),
+            )
+        if args.line_dedup:
+            r6_kw["line_dedup"] = True
+        if args.source_token_budget is not None:
+            r6_kw["source_token_budget"] = args.source_token_budget
         obs: dict = {}
         with PinScope() as pins:
             out = curation.curate_corpus(
                 spark, work, budget=256, observations=obs, pins=pins,
                 classifier_min=args.classifier_min, substring_n=args.substring_n,
+                **r6_kw,
             )
             n_packed = int(out.selectExpr(*CONSUME_PACKED).collect()[0]["n"])
             counts = {k: int(o.get["rows"]) for k, o in obs.items()}
@@ -241,6 +265,9 @@ def main() -> None:
                 "mode": "staged" if args.staged else "in_memory",
                 "classifier_min": args.classifier_min,
                 "substring_n": args.substring_n,
+                "gopher_min_words": args.gopher_min_words,
+                "line_dedup": args.line_dedup,
+                "source_token_budget": args.source_token_budget,
                 "mult": args.mult,
                 "n_base": n_base,
                 "n_docs": n_total,

@@ -220,6 +220,30 @@ class TestExtendedStages:
         )
         assert staged == mem and len(staged) > 0
 
+    def test_staged_equals_in_memory_with_r6_stages(self, spark, tmp_path):
+        """The r6 optional stages (Gopher quality, line dedup, exact
+        source token budget) must produce the identical corpus through
+        both execution modes — including line-dedup's rewritten text."""
+        kw = dict(
+            budget=256,
+            gopher_min_words=10,
+            gopher_stopwords=("the", "a", "table", "value", "row", "scan"),
+            line_dedup=True,
+            source_token_budget=4000,
+        )
+        out = str(tmp_path / "curated_r6")
+        packed, m = curation.curate_corpus_staged(spark, SF, out, **kw)
+        staged = sorted(
+            (r["doc_id"], r["text"]) for r in packed.select("doc_id", "text").collect()
+        )
+        mem = sorted(
+            (r["doc_id"], r["text"])
+            for r in curation.curate_corpus(spark, SF, **kw)
+            .select("doc_id", "text")
+            .collect()
+        )
+        assert staged == mem and len(staged) > 0
+
     def test_classifier_stage_only_shrinks(self, spark):
         base = curation.curate_corpus(spark, SF, budget=256).count()
         cut = curation.curate_corpus(

@@ -157,6 +157,21 @@ class TestBenchedQueryPlans:
         plan = self._benched(spark, "classifier_score")
         assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
 
+    def test_token_budget_never_global_sorts(self, spark):
+        """The exact-budget cumsum must stay two-level bucketed: window
+        sorts run inside hash-partitioned (source[, bucket]) groups, never
+        as a corpus-wide range-partitioned ORDER BY (the naive plan)."""
+        plan = self._benched(spark, "token_budget")
+        assert "rangepartitioning" not in plan.lower()
+        assert "Window" in plan  # the bounded per-bucket windows remain
+
+    def test_gopher_is_map_only(self, spark):
+        """The Gopher rules must contribute ZERO hashpartitioning
+        Exchanges of their own — the benched frame shows only the CONSUME
+        aggregation's own single-partition reduction."""
+        plan = self._benched(spark, "gopher_quality")
+        assert plan.count("Exchange hashpartitioning") == 0, plan[:600]
+
     def test_dedup_incremental_keeps_verify_udf(self, spark):
         """The benched frame must keep the exact-Jaccard Arrow verify (the
         jaccard sum consumes it) — a pruned plan would time LSH banding
