@@ -481,6 +481,39 @@ def upsample_sources(
     )
 
 
+def shard_corpus(
+    df: DataFrame, n_shards: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic training-shard assignment + within-shard order — the
+    "global shuffle" a training run needs over the finished corpus,
+    WITHOUT a global sort: shard = md5-uniform of the id mod n_shards
+    (the engine-portable vectorize.hashing_bucket_expr idiom, so shard
+    membership is reproducible anywhere), position = rank of the full md5
+    within the shard.  Adds (shard, pos); the writer realizes it as
+    ``repartition(n_shards, "shard").sortWithinPartitions("pos")`` → one
+    ordered file per shard.
+
+    100 TB shape: the only wide operation is one row_number window PER
+    SHARD partition — exactly the per-shard external sort the shard
+    writer performs anyway, and n_shards independent sort tasks is the
+    intended parallelism (size shards to the training-file target, a few
+    GB, so a 100 TB corpus yields tens of thousands of tasks).  Never a
+    corpus-wide ORDER BY rand()."""
+    from pyspark.sql import Window
+
+    u = F.md5(F.col(id_col).cast("string"))
+    shard = F.pmod(
+        F.conv(F.substring(u, 1, 8), 16, 10).cast("long"), F.lit(n_shards)
+    ).cast("int")
+    w = Window.partitionBy("shard").orderBy("_u")
+    return (
+        df.withColumn("_u", u)
+        .withColumn("shard", shard)
+        .withColumn("pos", F.row_number().over(w) - 1)
+        .drop("_u")
+    )
+
+
 def c4_filter(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -1597,6 +1597,32 @@ FROM m
 """
 
 
+def q_shard_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-shard assignment (corpus.shard_corpus):
+    md5-uniform shard of 8 + within-shard md5 rank — reproducible global
+    shuffle with per-shard sorts only."""
+    from ..operators import corpus
+
+    docs = _read(spark, sf_dir, "documents")
+    return corpus.shard_corpus(docs.select("doc_id"), n_shards=8).select(
+        "doc_id", "shard", "pos"
+    )
+
+
+SQL_SHARD_CORPUS = """
+WITH t AS (
+  SELECT doc_id,
+         CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                   AS BIGINT) % 8 AS INT) AS shard,
+         md5(CAST(doc_id AS VARCHAR)) AS u
+  FROM documents
+)
+SELECT doc_id, shard,
+       CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY u) - 1 AS INT) AS pos
+FROM t
+"""
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs on the dup-injected corpus.  At
     max_hamming=3 the 4x16-bit band blocking is pigeonhole-EXHAUSTIVE
@@ -3129,6 +3155,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_budget": q_token_budget,
     "c4_filter": q_c4_filter,
     "gopher_quality": q_gopher_quality,
+    "shard_corpus": q_shard_corpus,
     "media_digest_dedup": q_media_digest_dedup,
     "media_embedding_neardup": q_media_embedding_neardup,
     "dedup_incremental": q_dedup_incremental,
@@ -3217,6 +3244,7 @@ ORACLES: dict[str, str] = {
     "token_budget": SQL_TOKEN_BUDGET,
     "c4_filter": SQL_C4_FILTER,
     "gopher_quality": SQL_GOPHER_QUALITY,
+    "shard_corpus": SQL_SHARD_CORPUS,
     "media_digest_dedup": SQL_MEDIA_DIGEST_DEDUP,
     "media_embedding_neardup": SQL_MEDIA_EMBEDDING_NEARDUP,
     "dedup_incremental": SQL_DEDUP_INCREMENTAL,

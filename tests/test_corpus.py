@@ -115,6 +115,26 @@ class TestLineDedup:
         assert "HashAggregate" in plan
 
 
+class TestShardCorpus:
+    def test_deterministic_balanced_contiguous(self, spark):
+        docs = spark.createDataFrame(
+            [(i,) for i in range(400)], "doc_id long"
+        )
+        a = corpus_ops.shard_corpus(docs, 8).toPandas()
+        b = corpus_ops.shard_corpus(docs, 8).toPandas()
+        key = lambda d: sorted(zip(d.doc_id, d.shard, d.pos))
+        assert key(a) == key(b)  # fully deterministic
+        sizes = a.groupby("shard").size()
+        assert len(sizes) == 8
+        assert sizes.max() < 2.0 * sizes.min()  # md5-uniform balance
+        # positions are a contiguous 0..n-1 range within every shard
+        for s, grp in a.groupby("shard"):
+            assert sorted(grp.pos) == list(range(len(grp)))
+        # and within-shard order is NOT id order (it's a real shuffle)
+        g0 = a[a.shard == a.shard.iloc[0]].sort_values("pos")
+        assert list(g0.doc_id) != sorted(g0.doc_id)
+
+
 class TestC4Filter:
     def test_line_and_page_rules(self, spark):
         docs = spark.createDataFrame(
@@ -447,6 +467,49 @@ class TestCorpusProperties:
     """Hypothesis fuzz: the Spark operators vs pure-Python references on
     one shared Spark round-trip per example batch (small frames, wide
     input space)."""
+
+    def test_dedup_lines_matches_python_reference_and_idempotent(self, spark):
+        import random
+
+        rng = random.Random(11)
+        vocab = ["alpha beta gamma", "Shared Boiler Plate", "unique %d words",
+                 "", "...", "tail line here"]
+        for trial in range(5):
+            rows = []
+            for i in range(rng.randint(1, 25)):
+                lines = []
+                for _ in range(rng.randint(0, 4)):
+                    pick = rng.choice(vocab)
+                    lines.append(pick % i if "%d" in pick else pick)
+                rows.append((i, "\n".join(lines)))
+            docs = spark.createDataFrame(rows, "doc_id long, text string")
+            got = {
+                r["doc_id"]: r["text"]
+                for r in corpus_ops.dedup_lines(docs).collect()
+            }
+            # pure-python reference: first occurrence in (doc_id, idx)
+            # order of the letters-only lowercase key; blank keys exempt
+            seen, want = set(), {}
+            for i, text in sorted(rows):
+                kept = []
+                for line in text.split("\n"):
+                    key = "".join(c for c in line.lower() if c.isalpha())
+                    if key == "":
+                        kept.append(line)
+                    elif key not in seen:
+                        seen.add(key)
+                        kept.append(line)
+                want[i] = "\n".join(kept)
+            assert got == want, (trial, got, want)
+            # idempotence: a second pass finds nothing left to drop
+            once = spark.createDataFrame(
+                sorted(got.items()), "doc_id long, text string"
+            )
+            twice = {
+                r["doc_id"]: r["text"]
+                for r in corpus_ops.dedup_lines(once).collect()
+            }
+            assert twice == got
 
     def test_pack_sequences_matches_python_reference(self, spark):
         import random
