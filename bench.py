@@ -145,6 +145,10 @@ CONSUME: dict[str, list[str]] = {
         "count(*) AS n", "sum(n_words) AS a",  # map-only Gopher quality
         "sum(stopword_hits) AS b",
     ],
+    "shard_corpus": [
+        "count(*) AS n", "sum(pos) AS a",  # per-shard rank windows
+        "sum(shard) AS b",
+    ],
 }
 
 BENCH_QUERIES = list(CONSUME)
