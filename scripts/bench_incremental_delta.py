@@ -52,6 +52,11 @@ def main() -> None:
     ap.add_argument("--work-dir", default="/tmp/incremental_delta_bench")
     ap.add_argument("--cpus", type=int,
                     default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    ap.add_argument("--no-parity", action="store_true",
+                    help="skip phase D (the full batch re-run) — for "
+                    "standing-size scaling runs where pair parity is "
+                    "already proven at the base size and the batch re-run "
+                    "would dominate the wall")
     args = ap.parse_args()
 
     os.environ.setdefault("SPARK_DRIVER_MEMORY", "24g")
@@ -121,6 +126,28 @@ def main() -> None:
         old_texts = old_texts.unionByName(shard)
 
     # --- D: parity vs the full batch operator ------------------------------
+    if args.no_parity:
+        shutil.rmtree(work, ignore_errors=True)
+        print(
+            json.dumps(
+                {
+                    "metric": "incremental_lsh_delta_regime",
+                    "n_standing": n_standing,
+                    "n_delta": n_delta,
+                    "delta_batches": args.delta_batches,
+                    "synth_sec": round(synth_sec, 1),
+                    "sig_backfill_sec": round(backfill_sec, 1),
+                    "shard_secs": shard_secs,
+                    "delta_docs_per_sec": round(
+                        n_delta / max(sum(shard_secs), 1e-9), 1
+                    ),
+                    "shard_pairs": shard_pairs,
+                    "parity": "skipped (--no-parity)",
+                    "cpus": args.cpus,
+                }
+            )
+        )
+        return
     t0 = time.perf_counter()
     full = standing
     for d in deltas:
