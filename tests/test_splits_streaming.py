@@ -406,6 +406,42 @@ class TestStreamingNearDup:
         assert len(got) == len(got.drop_duplicates(["doc_id", "dup_id"]))
         assert (1, 2) in key(got) and (4, 5) in key(got)  # cross-batch pairs
 
+    def test_incremental_sink_replay_idempotent(self, spark, tmp_path):
+        """foreachBatch is at-least-once: re-delivering a batch_id must
+        overwrite its own previous attempt (batch=N dirs) and must NOT see
+        its first attempt's signatures as standing state (batch < N read
+        filter) — pairs and store row counts end identical to a single
+        delivery."""
+        import pandas as pd
+
+        from py_evalfilter_spark.streaming import neardup
+
+        store = str(tmp_path / "replay_store")
+        sink = neardup.incremental_neardup_sink(store, threshold=0.7, unit="char")
+        b0 = spark.createDataFrame(pd.DataFrame({
+            "doc_id": [1, 2],
+            "text": ["the quick brown fox jumps over the lazy dog tonight",
+                     "an unrelated standing doc about parquet file readers"],
+        }))
+        b1 = spark.createDataFrame(pd.DataFrame({
+            "doc_id": [3],
+            "text": ["the quick brown fox jumps over the lazy dog tonite"],
+        }))
+        sink(b0, 0)
+        sink(b1, 1)
+        once_pairs = sorted(
+            map(tuple, spark.read.parquet(f"{store}/pairs")
+                .select("doc_id", "dup_id", "jaccard").collect())
+        )
+        once_sigs = spark.read.parquet(f"{store}/signatures").count()
+        sink(b1, 1)  # replay the same batch
+        again_pairs = sorted(
+            map(tuple, spark.read.parquet(f"{store}/pairs")
+                .select("doc_id", "dup_id", "jaccard").collect())
+        )
+        assert again_pairs == once_pairs and once_pairs  # (1,3) found once
+        assert spark.read.parquet(f"{store}/signatures").count() == once_sigs
+
     def test_replayed_docs_do_not_duplicate_pairs(self, spark, tmp_path):
         """At-least-once replay (ADVICE r4): redelivering the same docs in
         a later micro-batch must add NOTHING — no duplicate state entries,
