@@ -149,6 +149,14 @@ CONSUME: dict[str, list[str]] = {
         "count(*) AS n", "sum(pos) AS a",  # per-shard rank windows
         "sum(shard) AS b",
     ],
+    "bloom_dedup": [
+        "count(*) AS n", "sum(doc_id) AS a",   # bitmap build + probe + confirm
+        "sum(length(text)) AS b",
+    ],
+    "bm25_search": [
+        "count(*) AS n", "sum(bm25) AS a",  # postings + idf join + score agg
+        "sum(doc_id) AS b",
+    ],
 }
 
 BENCH_QUERIES = list(CONSUME)

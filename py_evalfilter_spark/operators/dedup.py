@@ -565,6 +565,8 @@ def minhash_lsh_pairs_incremental(
     est_margin: float = 0.15,
     pins: "PinScope | None" = None,
     old_sigs: DataFrame | None = None,
+    old_banded: DataFrame | None = None,
+    prune_old_buckets: bool = True,
 ) -> DataFrame:
     """minhash_lsh_pairs restricted to pairs TOUCHING the `new` shard:
     new×old and new×new, never old×old — the batch complement of
@@ -589,7 +591,19 @@ def minhash_lsh_pairs_incremental(
     verify stages as minhash_lsh_pairs, so output ≡ the full operator's
     pairs filtered to those touching `new`.  Requires ids unique ACROSS
     both frames (pair identity is id-based); output is (doc_id, dup_id,
-    jaccard) with doc_id < dup_id regardless of which side is new."""
+    jaccard) with doc_id < dup_id regardless of which side is new.
+
+    `old_banded` (requires `old_sigs`): a PRE-BANDED standing table — the
+    `write_neardup_store` layout, `(doc_id, band, bucket)` bucketed by
+    (band, bucket) — removes the remaining O(standing) compute term, the
+    per-shard re-banding (explode + xxhash over |old|×bands rows): the
+    shard joins the stored banding directly, and because the store scan's
+    bucketing already satisfies the join's distribution, only the
+    shard-sized side shuffles.  `prune_old_buckets` additionally
+    broadcast-semi-joins the store on the shard's touched (band, bucket)
+    keys (shard×bands rows — small) so untouched standing buckets never
+    enter the join.  Pairs are identical to the recompute path by
+    construction (same signatures ⇒ same banding)."""
     assert num_perm % bands == 0
     r = num_perm // bands
     sigs_new = _pin(
@@ -601,28 +615,68 @@ def minhash_lsh_pairs_incremental(
         pins,
     )
     banded_new = _pin(band_buckets(sigs_new, bands, r), pins)
-    banded_all = banded_new.withColumn("_new", F.lit(True)).unionByName(
-        band_buckets(sigs_old, bands, r).withColumn("_new", F.lit(False))
-    )
     l = banded_new.alias("l")
-    rt = banded_all.alias("r")
-    cands = (
-        l.join(
-            rt,
+    if old_banded is not None:
+        if old_sigs is None:
+            raise ValueError(
+                "old_banded requires old_sigs: the estimate filter needs the "
+                "standing signatures, and recomputing them would defeat the "
+                "stored layout"
+            )
+        banded_old = old_banded
+        if prune_old_buckets:
+            touched = banded_new.select("band", "bucket").distinct()
+            banded_old = banded_old.join(
+                F.broadcast(touched), ["band", "bucket"], "left_semi"
+            )
+        # new×old and new×new as separate joins (instead of new×union) so
+        # the stored side keeps its bucketed distribution — unioning would
+        # discard it and force a full shuffle of the standing banding
+        new_old = (
+            l.join(
+                banded_old.alias("r"),
+                (F.col("l.band") == F.col("r.band"))
+                & (F.col("l.bucket") == F.col("r.bucket")),
+            )
+            .filter(F.col("l.doc_id") != F.col("r.doc_id"))
+            .select(
+                F.least(F.col("l.doc_id"), F.col("r.doc_id")).alias("doc_id"),
+                F.greatest(F.col("l.doc_id"), F.col("r.doc_id")).alias("dup_id"),
+            )
+        )
+        new_new = l.join(
+            banded_new.alias("r"),
             (F.col("l.band") == F.col("r.band"))
             & (F.col("l.bucket") == F.col("r.bucket"))
-            # old partners pair with every new bucket-mate (old is never on
-            # the left, so each new×old pair appears exactly once); new
-            # partners need the strict order so new×new pairs don't double
-            & (~F.col("r._new") | (F.col("l.doc_id") < F.col("r.doc_id"))),
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        ).select(
+            F.col("l.doc_id").alias("doc_id"),
+            F.col("r.doc_id").alias("dup_id"),
         )
-        .filter(F.col("l.doc_id") != F.col("r.doc_id"))
-        .select(
-            F.least(F.col("l.doc_id"), F.col("r.doc_id")).alias("doc_id"),
-            F.greatest(F.col("l.doc_id"), F.col("r.doc_id")).alias("dup_id"),
+        cands = new_old.unionByName(new_new).distinct()
+    else:
+        banded_all = banded_new.withColumn("_new", F.lit(True)).unionByName(
+            band_buckets(sigs_old, bands, r).withColumn("_new", F.lit(False))
         )
-        .distinct()
-    )
+        rt = banded_all.alias("r")
+        cands = (
+            l.join(
+                rt,
+                (F.col("l.band") == F.col("r.band"))
+                & (F.col("l.bucket") == F.col("r.bucket"))
+                # old partners pair with every new bucket-mate (old is never
+                # on the left, so each new×old pair appears exactly once);
+                # new partners need the strict order so new×new pairs don't
+                # double
+                & (~F.col("r._new") | (F.col("l.doc_id") < F.col("r.doc_id"))),
+            )
+            .filter(F.col("l.doc_id") != F.col("r.doc_id"))
+            .select(
+                F.least(F.col("l.doc_id"), F.col("r.doc_id")).alias("doc_id"),
+                F.greatest(F.col("l.doc_id"), F.col("r.doc_id")).alias("dup_id"),
+            )
+            .distinct()
+        )
     sigs = sigs_new.unionByName(sigs_old)
     sig_a = sigs.select(F.col("doc_id"), F.col("signature").alias("sig_a"))
     sig_b = sigs.select(
@@ -659,6 +713,97 @@ def minhash_lsh_pairs_incremental(
         pairs.withColumn("jaccard", jaccard_udf("text_a", "text_b"))
         .filter(F.col("jaccard") >= threshold)
         .select("doc_id", "dup_id", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Persisted near-dup signature store (the standing-corpus layout)
+# ---------------------------------------------------------------------------
+
+
+def write_neardup_store(
+    sigs: DataFrame,
+    table_prefix: str,
+    bands: int = 16,
+    num_perm: int = 64,
+    n_buckets: int = 32,
+    path: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist a standing corpus's minhash signatures in the layout the
+    daily-shard regime wants, as two catalog tables:
+
+      {prefix}_sigs    (doc_id, signature)        bucketed by doc_id
+      {prefix}_banded  (doc_id, band, bucket)     bucketed by (band, bucket)
+
+    The banded table is the standing corpus's LSH banding computed ONCE at
+    backfill: each arriving shard joins it directly (see
+    minhash_lsh_pairs_incremental's `old_banded`), so the per-shard cost
+    stops carrying the O(standing) explode+hash re-banding, and the store
+    side of the candidate join never shuffles (its scan's bucketing IS the
+    join distribution).  The sigs table feeds the estimate filter, joined
+    on doc_id against the shard-sized candidate set.
+
+    `bands`/`num_perm` must match the incremental call's parameters
+    (banding is parameter-determined); `n_buckets` sizes a bucket at
+    roughly one executor-task's worth of rows at target scale — at 100 TB
+    / ~1e11 docs × 16 band rows each, tens of thousands of buckets.
+    `mode="append"` adds a shard's rows to both tables (Spark validates
+    the bucket spec matches the existing tables); `append_neardup_store`
+    wraps that with the banding derivation.
+    """
+    from ..sources.tables import write_bucketed
+
+    assert num_perm % bands == 0
+    write_bucketed(
+        sigs,
+        f"{table_prefix}_sigs",
+        ["doc_id"],
+        n_buckets,
+        path=(f"{path}/sigs" if path else None),
+        mode=mode,
+    )
+    write_bucketed(
+        band_buckets(sigs, bands, num_perm // bands),
+        f"{table_prefix}_banded",
+        ["band", "bucket"],
+        n_buckets,
+        sort_cols=["band", "bucket"],
+        path=(f"{path}/banded" if path else None),
+        mode=mode,
+    )
+
+
+def append_neardup_store(
+    shard_sigs: DataFrame,
+    table_prefix: str,
+    bands: int = 16,
+    num_perm: int = 64,
+    n_buckets: int = 32,
+) -> None:
+    """Append a processed shard's signatures (and their banding) to an
+    existing neardup store — the amortized daily loop: dedup the shard
+    against the store, then fold it in so the NEXT shard sees it as
+    standing.  Each document is shingled exactly once in its lifetime."""
+    write_neardup_store(
+        shard_sigs,
+        table_prefix,
+        bands=bands,
+        num_perm=num_perm,
+        n_buckets=n_buckets,
+        mode="append",
+    )
+
+
+def read_neardup_store(
+    spark, table_prefix: str
+) -> tuple[DataFrame, DataFrame]:
+    """(sigs, banded) with bucket metadata intact — must go through the
+    catalog (spark.table); a plain parquet read of the same files would
+    forget the bucketing and reintroduce the store-side shuffle."""
+    return (
+        spark.table(f"{table_prefix}_sigs"),
+        spark.table(f"{table_prefix}_banded"),
     )
 
 

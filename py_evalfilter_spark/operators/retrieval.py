@@ -1,0 +1,136 @@
+"""BM25 ranked retrieval over a document corpus — the classic inverted-
+index scoring function (Robertson-Sparck Jones idf, Okapi tf saturation),
+expressed as DataFrame relational algebra so Catalyst keeps every stage
+shuffle-planned and codegen'd.
+
+The reference engine's text surface stops at per-document feature maps and
+vectorizer fitting (src/evalfilter/*, surveyed in SURVEY.md §2.3-2.5);
+ranked retrieval is an engine extension (brief: training-data pipelines
+need "which documents match this probe query" for corpus QA and
+contamination triage — e.g. searching a crawl for benchmark strings).
+
+Shape (all built-ins, no UDFs):
+  postings  (term, doc_id, tf)   one shuffle: groupBy(doc_id, term)
+  doc_len   (doc_id, dl)         map-side combine off the same tokens
+  dfreq     (term, df)           aggregates postings — skew-safe (a
+                                 stop-word's posting list is large, but
+                                 df-agg is a partial-agg count, not a join)
+  scoring                        query terms filter postings FIRST
+                                 (isin-pushdown → parquet row-group skip
+                                 on a term-sorted store), then join —
+                                 per-term idf is a handful of rows,
+                                 broadcast by AQE.
+
+Top-k uses orderBy(...).limit(k) → TakeOrderedAndProject: per-partition
+heaps + driver merge of k×partitions rows, never a global sort.
+
+At 100 TB the postings table is the big artifact (≈ tokens count rows);
+it partial-aggregates map-side before its one shuffle, and a persisted
+postings store bucketed+sorted by term turns every later query into a
+bucket-pruned scan with no shuffle at all (sources/tables.write_bucketed).
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .corpus import WORD_RE
+
+
+def tokenize_query(query: str) -> list[str]:
+    """The same word tokenization the corpus side uses (corpus.WORD_RE),
+    applied driver-side to the probe string; distinct terms, order-free
+    (BM25 is a bag-of-terms score)."""
+    return sorted({t for t in re.split(WORD_RE, query.lower()) if t})
+
+
+def bm25_postings(
+    docs: DataFrame, id_col: str, text_col: str
+) -> tuple[DataFrame, DataFrame]:
+    """(postings(term, doc_id, tf), doc_len(doc_id, dl)) — the index
+    tables.  Persist both (postings bucketed by term) to amortize over
+    many queries; build is one tokenize pass + one shuffle each."""
+    tokens = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.lower(F.col(text_col)), WORD_RE)).alias("term"),
+    ).filter(F.col("term") != "")
+    postings = tokens.groupBy("term", "doc_id").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    doc_len = tokens.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    return postings, doc_len
+
+
+def bm25_scores(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    query: str,
+    k1: float = 1.2,
+    b: float = 0.75,
+    postings: DataFrame | None = None,
+    doc_len: DataFrame | None = None,
+) -> DataFrame:
+    """(doc_id, bm25) for every document matching ≥1 query term.
+
+    idf = ln(1 + (N - df + 0.5)/(df + 0.5))   [Robertson; always > 0]
+    tf-part = tf·(k1+1) / (tf + k1·(1 - b + b·dl/avgdl))
+
+    N and avgdl are corpus scalars — computed with one tiny aggregate and
+    folded in as literals (two doubles to the driver, not a collect of
+    data).  Pass a persisted (postings, doc_len) pair to skip re-indexing."""
+    terms = tokenize_query(query)
+    if postings is None or doc_len is None:
+        postings, doc_len = bm25_postings(docs, id_col, text_col)
+    stats = doc_len.agg(
+        F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")
+    ).collect()[0]
+    n_docs, avgdl = stats["n"], stats["avgdl"]
+
+    hits = postings.filter(F.col("term").isin(terms))
+    dfreq = hits.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+    )
+    scored = (
+        hits.join(dfreq, "term")
+        .join(doc_len, "doc_id")
+        .withColumn(
+            "part",
+            idf
+            * (F.col("tf") * F.lit(k1 + 1.0))
+            / (
+                F.col("tf")
+                + F.lit(k1)
+                * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(float(avgdl)))
+            ),
+        )
+    )
+    return scored.groupBy("doc_id").agg(F.sum("part").alias("bm25"))
+
+
+def bm25_topk(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    query: str,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    postings: DataFrame | None = None,
+    doc_len: DataFrame | None = None,
+) -> DataFrame:
+    """Top-k by (bm25 desc, doc_id asc — deterministic tie order), via
+    TakeOrderedAndProject (bounded per-partition heaps, no global sort)."""
+    return (
+        bm25_scores(
+            docs, id_col, text_col, query, k1, b, postings, doc_len
+        )
+        .orderBy(F.col("bm25").desc(), F.col("doc_id"))
+        .limit(k)
+    )

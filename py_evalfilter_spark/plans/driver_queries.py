@@ -3139,6 +3139,93 @@ FROM agg WHERE n_shared > 0
 
 
 # ---------------------------------------------------------------------------
+# bloom membership dedup + BM25 retrieval (engine extensions, r6)
+# ---------------------------------------------------------------------------
+
+
+def q_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered exact dedup of a shard against the standing
+    documents corpus (operators/bloom.bloom_dedup_against, confirm=True):
+    every 41st doc contributes one true-duplicate copy (id +1M, same
+    text) and one genuinely-new variant (id +2M, text || ' zz').  The
+    Bloom filter is a join-input reducer only — output is EXACTLY the
+    anti-join (no false negatives; positives are confirm-joined), which
+    is what the oracle states."""
+    from ..operators import bloom
+
+    docs = _read(spark, sf_dir, "documents")
+    base = docs.filter(F.col("doc_id") % 41 == 0)
+    shard = base.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    ).unionByName(
+        base.select(
+            (F.col("doc_id") + 2_000_000).alias("doc_id"),
+            F.concat("text", F.lit(" zz")).alias("text"),
+        )
+    )
+    return bloom.bloom_dedup_against(
+        shard, docs.select("text"), "text", fp_rate=1e-3, confirm=True
+    )
+
+
+SQL_BLOOM_DEDUP = """
+WITH shard AS (
+  SELECT doc_id + 1000000 AS doc_id, text
+  FROM documents WHERE doc_id % 41 = 0
+  UNION ALL
+  SELECT doc_id + 2000000 AS doc_id, text || ' zz' AS text
+  FROM documents WHERE doc_id % 41 = 0
+)
+SELECT s.doc_id, s.text
+FROM shard s
+WHERE NOT EXISTS (SELECT 1 FROM documents d WHERE d.text = s.text)
+"""
+
+
+BM25_QUERY = "spark hash join vector"
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval (operators/retrieval.bm25_scores) for a fixed
+    probe query over the documents corpus: postings/doc-length index,
+    Robertson idf, Okapi tf saturation.  Full scored set (no top-k cut)
+    so the hash compare is order-free; scores rounded per convention."""
+    from ..operators import retrieval
+
+    docs = _read(spark, sf_dir, "documents")
+    return retrieval.bm25_scores(
+        docs, "doc_id", "text", BM25_QUERY, k1=_BM25_K1, b=_BM25_B
+    ).select("doc_id", F.round("bm25", 4).alias("bm25"))
+
+
+SQL_BM25_SEARCH = f"""
+WITH {TOKENS_CTE.strip()},
+postings AS (
+  SELECT term, doc_id, COUNT(*) AS tf FROM tokens GROUP BY term, doc_id
+),
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM tokens GROUP BY doc_id),
+stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, AVG(dl) AS avgdl FROM dl),
+hits AS (
+  SELECT * FROM postings
+  WHERE term IN ('spark', 'hash', 'join', 'vector')
+),
+dfreq AS (SELECT term, COUNT(*) AS df FROM hits GROUP BY term)
+SELECT p.doc_id,
+       ROUND(SUM(
+         ln(1 + (s.n - f.df + 0.5) / (f.df + 0.5))
+         * (p.tf * ({_BM25_K1} + 1))
+         / (p.tf + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * d.dl / s.avgdl))
+       ), 4) AS bm25
+FROM hits p
+JOIN dfreq f USING (term)
+JOIN dl d USING (doc_id)
+CROSS JOIN stats s
+GROUP BY p.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -3150,6 +3237,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # no row at all).  r6 order: [new r6 queries] > last green r4
     # (token_count..smote, outside the r5 window) > first green r5
     # (perplexity_buckets..semdedup) > long-green r1-r5 core at the tail.
+    "bloom_dedup": q_bloom_dedup,
+    "bm25_search": q_bm25_search,
     "line_dedup": q_line_dedup,
     "dedup_best": q_dedup_best,
     "token_budget": q_token_budget,
@@ -3239,6 +3328,8 @@ ORACLES: dict[str, str] = {
     # rotated to mirror QUERIES order (stalest driver rows first);
     # curation_pipeline is rows-only by design (composite, stages
     # individually oracled below).
+    "bloom_dedup": SQL_BLOOM_DEDUP,
+    "bm25_search": SQL_BM25_SEARCH,
     "line_dedup": SQL_LINE_DEDUP,
     "dedup_best": SQL_DEDUP_BEST,
     "token_budget": SQL_TOKEN_BUDGET,

@@ -57,6 +57,12 @@ def main() -> None:
                     "standing-size scaling runs where pair parity is "
                     "already proven at the base size and the batch re-run "
                     "would dominate the wall")
+    ap.add_argument("--layout", choices=["parquet", "banded"], default="parquet",
+                    help="standing-store layout: 'parquet' = flat signature "
+                    "parquet, re-banded per shard (the r6 baseline); "
+                    "'banded' = write_neardup_store's pre-banded "
+                    "(band,bucket)-bucketed catalog tables + touched-bucket "
+                    "prune (the cluster layout)")
     args = ap.parse_args()
 
     os.environ.setdefault("SPARK_DRIVER_MEMORY", "24g")
@@ -95,11 +101,20 @@ def main() -> None:
     n_delta = sum(d.count() for d in deltas)
 
     # --- B: one-time standing signature store (the "backfill") ------------
+    import uuid
+
     sig_store = f"{work}/sig_store.parquet"
+    store_tbl = f"nd_bench_{uuid.uuid4().hex[:8]}"
     t0 = time.perf_counter()
-    dedup.minhash_signatures(
-        standing, "doc_id", "text", unit="word"
-    ).write.parquet(sig_store)
+    if args.layout == "banded":
+        dedup.write_neardup_store(
+            dedup.minhash_signatures(standing, "doc_id", "text", unit="word"),
+            store_tbl, n_buckets=args.cpus, path=f"{work}/nd_store",
+        )
+    else:
+        dedup.minhash_signatures(
+            standing, "doc_id", "text", unit="word"
+        ).write.parquet(sig_store)
     backfill_sec = time.perf_counter() - t0
 
     # --- C: per-shard incremental dedup against the growing store ---------
@@ -109,16 +124,31 @@ def main() -> None:
     for b, shard in enumerate(deltas):
         t0 = time.perf_counter()
         with PinScope() as pins:
-            pairs = dedup.minhash_lsh_pairs_incremental(
-                shard, old_texts, "doc_id", "text", unit="word",
-                old_sigs=spark.read.parquet(sig_store), pins=pins,
-            )
+            if args.layout == "banded":
+                s_sigs, s_banded = dedup.read_neardup_store(spark, store_tbl)
+                pairs = dedup.minhash_lsh_pairs_incremental(
+                    shard, old_texts, "doc_id", "text", unit="word",
+                    old_sigs=s_sigs, old_banded=s_banded, pins=pins,
+                )
+            else:
+                pairs = dedup.minhash_lsh_pairs_incremental(
+                    shard, old_texts, "doc_id", "text", unit="word",
+                    old_sigs=spark.read.parquet(sig_store), pins=pins,
+                )
             pairs.write.parquet(f"{work}/pairs_{b}.parquet")
         # append the shard's signatures to the store (part of the shard's
         # cost: the NEXT shard's standing corpus includes this one)
-        dedup.minhash_signatures(
-            shard, "doc_id", "text", unit="word"
-        ).write.mode("append").parquet(sig_store)
+        if args.layout == "banded":
+            dedup.append_neardup_store(
+                dedup.minhash_signatures(shard, "doc_id", "text", unit="word"),
+                store_tbl, n_buckets=args.cpus,
+            )
+            spark.catalog.refreshTable(f"{store_tbl}_sigs")
+            spark.catalog.refreshTable(f"{store_tbl}_banded")
+        else:
+            dedup.minhash_signatures(
+                shard, "doc_id", "text", unit="word"
+            ).write.mode("append").parquet(sig_store)
         shard_secs.append(round(time.perf_counter() - t0, 2))
         shard_pairs.append(
             spark.read.parquet(f"{work}/pairs_{b}.parquet").count()
@@ -132,6 +162,7 @@ def main() -> None:
             json.dumps(
                 {
                     "metric": "incremental_lsh_delta_regime",
+                    "layout": args.layout,
                     "n_standing": n_standing,
                     "n_delta": n_delta,
                     "delta_batches": args.delta_batches,
@@ -181,6 +212,7 @@ def main() -> None:
         json.dumps(
             {
                 "metric": "incremental_lsh_delta_regime",
+                "layout": args.layout,
                 "n_standing": n_standing,
                 "n_delta": n_delta,
                 "delta_batches": args.delta_batches,

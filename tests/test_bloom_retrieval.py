@@ -1,0 +1,220 @@
+"""Bloom membership prefilter (operators/bloom) and BM25 ranked retrieval
+(operators/retrieval): exactness contracts, no-false-negative property,
+false-positive calibration, and a brute-force numpy BM25 cross-check."""
+
+import math
+import re
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from py_evalfilter_spark.operators import bloom, retrieval
+
+
+class TestBloomParams:
+    def test_classic_sizing(self):
+        m, k = bloom.bloom_params(1_000_000, 1e-3)
+        # ~14.4 bits/key, ~10 hashes at eps=1e-3
+        assert 14_000_000 < m < 14_500_000 and k in (9, 10, 11)
+        assert m % 8 == 0
+
+    def test_degenerate(self):
+        assert bloom.bloom_params(0, 1e-3) == (8, 1)
+
+    def test_theoretical_fp_monotone_in_bits(self):
+        a = bloom.theoretical_fp_rate(10_000, 7, 1000)
+        b = bloom.theoretical_fp_rate(20_000, 7, 1000)
+        assert b < a < 1.0
+
+
+class TestBloomFilter:
+    @pytest.fixture(scope="class")
+    def corpus(self, spark):
+        return spark.createDataFrame(
+            pd.DataFrame({"k": [f"key_{i:05d}" for i in range(500)]})
+        )
+
+    def test_no_false_negatives(self, spark, corpus):
+        """Every inserted key must probe positive — the property the exact
+        path depends on (negatives skip the confirm join entirely)."""
+        n_bits, k = bloom.bloom_params(500, 1e-3)
+        filt = bloom.build_bloom(corpus, "k", n_bits, k)
+        probed = bloom.with_bloom_probe(corpus, "k", filt, k).toPandas()
+        assert probed.maybe_member.all()
+
+    def test_fp_rate_calibrated(self, spark, corpus):
+        """Probing 5000 DISJOINT keys: measured FP rate within 4x of the
+        theoretical rate (small-sample slack), and far below 1."""
+        n_bits, k = bloom.bloom_params(500, 1e-2)
+        filt = bloom.build_bloom(corpus, "k", n_bits, k)
+        others = spark.createDataFrame(
+            pd.DataFrame({"k": [f"other_{i:05d}" for i in range(5000)]})
+        )
+        got = bloom.with_bloom_probe(others, "k", filt, k).toPandas()
+        measured = got.maybe_member.mean()
+        theory = bloom.theoretical_fp_rate(n_bits, k, 500)
+        assert measured <= max(4 * theory, 0.05), (measured, theory)
+
+    def test_dedup_exact_equals_anti_join(self, spark):
+        """confirm=True output ≡ left_anti join, including under forced
+        false positives (an undersized filter makes FPs certain — the
+        confirm join must repair every one of them)."""
+        old = spark.createDataFrame(
+            pd.DataFrame({"k": [f"doc {i} text" for i in range(200)],
+                          "extra": range(200)})
+        ).select("k")
+        new = spark.createDataFrame(
+            pd.DataFrame({
+                "id": range(300),
+                "k": [f"doc {i} text" if i % 3 == 0 else f"fresh {i} text"
+                      for i in range(300)],
+            })
+        )
+        want = {
+            r["id"]
+            for r in new.join(old, "k", "left_anti").select("id").collect()
+        }
+        for fp in (1e-3, 0.5):  # 0.5 -> tiny filter, rampant FPs
+            got = bloom.bloom_dedup_against(
+                new, old, "k", fp_rate=fp, confirm=True
+            )
+            assert {r["id"] for r in got.select("id").collect()} == want, fp
+        assert want and len(want) < 300  # non-vacuous both ways
+
+    def test_dedup_unconfirmed_never_keeps_a_duplicate(self, spark):
+        old = spark.createDataFrame(
+            pd.DataFrame({"k": [f"doc {i} text" for i in range(200)]})
+        )
+        new = spark.createDataFrame(
+            pd.DataFrame({
+                "id": range(300),
+                "k": [f"doc {i} text" if i % 3 == 0 else f"fresh {i} text"
+                      for i in range(300)],
+            })
+        )
+        got = bloom.bloom_dedup_against(
+            new, old, "k", fp_rate=1e-3, confirm=False
+        ).toPandas()
+        dup_ids = {i for i in range(300) if i % 3 == 0 and i < 200}
+        assert not (set(got.id) & dup_ids)
+        # approximate mode loses at most a small sliver of the new rows
+        assert len(got) >= 0.95 * (300 - len(dup_ids))
+
+    def test_null_keys_consistent(self, spark):
+        """NULL keys hash as a single value on both build and probe sides
+        (no crash, deterministic)."""
+        old = spark.createDataFrame(
+            pd.DataFrame({"k": pd.array(["a", None], dtype="string")})
+        )
+        n_bits, k = bloom.bloom_params(2, 1e-2)
+        filt = bloom.build_bloom(old, "k", n_bits, k)
+        probed = bloom.with_bloom_probe(old, "k", filt, k).toPandas()
+        assert probed.maybe_member.all()
+
+
+def _brute_bm25(pdf, query, k1=1.2, b=0.75):
+    toks = {
+        r.doc_id: [t for t in re.split("[^a-z0-9]+", r.text.lower()) if t]
+        for r in pdf.itertuples()
+    }
+    toks = {d: ts for d, ts in toks.items() if ts}
+    n = len(toks)
+    avgdl = sum(len(ts) for ts in toks.values()) / n
+    qterms = sorted({t for t in re.split("[^a-z0-9]+", query.lower()) if t})
+    df = {q: sum(1 for ts in toks.values() if q in ts) for q in qterms}
+    out = {}
+    for d, ts in toks.items():
+        s = 0.0
+        for q in qterms:
+            tf = ts.count(q)
+            if not tf or not df[q]:
+                continue
+            idf = math.log(1 + (n - df[q] + 0.5) / (df[q] + 0.5))
+            s += idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * len(ts) / avgdl))
+        if s > 0:
+            out[d] = s
+    return out
+
+
+class TestBM25:
+    @pytest.fixture(scope="class")
+    def docs(self, spark):
+        pdf = pd.DataFrame({
+            "doc_id": range(8),
+            "text": [
+                "spark shuffles data between executors",
+                "the quick brown fox",
+                "spark spark spark everywhere in this spark document",
+                "data pipelines move data with spark and arrow",
+                "nothing relevant here at all",
+                "a short spark note",
+                "arrow batches cross the wire",
+                "executors spill data to disk",
+            ],
+        })
+        return spark.createDataFrame(pdf), pdf
+
+    def test_scores_match_brute_force(self, spark, docs):
+        sdf, pdf = docs
+        query = "spark data"
+        want = _brute_bm25(pdf, query)
+        got = {
+            r["doc_id"]: r["bm25"]
+            for r in retrieval.bm25_scores(
+                sdf, "doc_id", "text", query
+            ).collect()
+        }
+        assert set(got) == set(want)
+        for d in want:
+            assert got[d] == pytest.approx(want[d], rel=1e-9), d
+
+    def test_tf_saturation_not_linear(self, spark, docs):
+        """Doc 2 (tf=5 'spark') must NOT score 5x doc 5 (tf=1) — Okapi
+        saturation; but must still score strictly higher."""
+        sdf, _ = docs
+        got = {
+            r["doc_id"]: r["bm25"]
+            for r in retrieval.bm25_scores(sdf, "doc_id", "text", "spark").collect()
+        }
+        assert got[2] > got[5]
+        assert got[2] < 5 * got[5]
+
+    def test_topk_order_and_bound(self, spark, docs):
+        sdf, pdf = docs
+        want = _brute_bm25(pdf, "spark data")
+        top = retrieval.bm25_topk(sdf, "doc_id", "text", "spark data", k=3)
+        rows = top.collect()
+        assert len(rows) == 3
+        scores = [r["bm25"] for r in rows]
+        assert scores == sorted(scores, reverse=True)
+        assert scores[0] == pytest.approx(max(want.values()), rel=1e-9)
+
+    def test_topk_plan_is_take_ordered(self, spark, docs):
+        """limit-after-orderBy must plan as TakeOrderedAndProject — per-
+        partition heaps, never a global Sort+Exchange."""
+        sdf, _ = docs
+        plan = (
+            retrieval.bm25_topk(sdf, "doc_id", "text", "spark", k=3)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "TakeOrderedAndProject" in plan, plan
+
+    def test_unknown_terms_empty(self, spark, docs):
+        sdf, _ = docs
+        assert retrieval.bm25_scores(
+            sdf, "doc_id", "text", "zzz qqq"
+        ).count() == 0
+
+    def test_persisted_index_identical(self, spark, docs):
+        sdf, _ = docs
+        postings, dl = retrieval.bm25_postings(sdf, "doc_id", "text")
+        a = retrieval.bm25_scores(sdf, "doc_id", "text", "spark data").toPandas()
+        c = retrieval.bm25_scores(
+            sdf, "doc_id", "text", "spark data", postings=postings, doc_len=dl
+        ).toPandas()
+        key = lambda df: {
+            (d, round(s, 9)) for d, s in zip(df.doc_id, df.bm25)
+        }
+        assert key(a) == key(c)

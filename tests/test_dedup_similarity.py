@@ -162,6 +162,117 @@ class TestDedup:
         }
         assert key(amortized) == key(in_op) and len(in_op)
 
+    def test_minhash_incremental_banded_store_identical(
+        self, spark, docs, tmp_path
+    ):
+        """The stored-layout mode (write_neardup_store → old_sigs +
+        old_banded, with and without the touched-bucket prune) must produce
+        output identical to the recompute path — same signatures ⇒ same
+        banding ⇒ same candidates, estimates, and verified pairs."""
+        import uuid
+
+        from pyspark.sql import functions as F
+
+        new = docs.filter(F.col("doc_id") % 2 == 0).select(
+            (F.col("doc_id") + 1000).alias("doc_id"),
+            F.concat("text", F.lit(" z")).alias("text"),
+        )
+        old = docs.select("doc_id", "text")
+        want = dedup.minhash_lsh_pairs_incremental(
+            new, old, "doc_id", "text", n=3, threshold=0.7,
+        ).toPandas()
+        prefix = f"nd_{uuid.uuid4().hex[:8]}"
+        dedup.write_neardup_store(
+            dedup.minhash_signatures(old, "doc_id", "text", n=3),
+            prefix, n_buckets=4, path=str(tmp_path / "store"),
+        )
+        try:
+            s_sigs, s_banded = dedup.read_neardup_store(spark, prefix)
+            key = lambda df: {
+                (a, b): j for a, b, j in zip(df.doc_id, df.dup_id, df.jaccard)
+            }
+            for prune in (True, False):
+                got = dedup.minhash_lsh_pairs_incremental(
+                    new, old, "doc_id", "text", n=3, threshold=0.7,
+                    old_sigs=s_sigs, old_banded=s_banded,
+                    prune_old_buckets=prune,
+                ).toPandas()
+                assert key(got) == key(want), prune
+            assert len(want)
+        finally:
+            spark.sql(f"DROP TABLE IF EXISTS {prefix}_sigs")
+            spark.sql(f"DROP TABLE IF EXISTS {prefix}_banded")
+
+    def test_minhash_incremental_store_append_flow(self, spark, docs, tmp_path):
+        """The daily loop: backfill store from A, dedup shard B against it,
+        fold B in (append_neardup_store), dedup shard C against A∪B — each
+        shard's output must equal the recompute-path incremental over the
+        same standing corpus."""
+        import uuid
+
+        from pyspark.sql import functions as F
+
+        A = docs.select("doc_id", "text")
+        mk = lambda off, suffix: docs.filter(F.col("doc_id") % 2 == 0).select(
+            (F.col("doc_id") + off).alias("doc_id"),
+            F.concat("text", F.lit(suffix)).alias("text"),
+        )
+        B, C = mk(1000, " z"), mk(2000, " q")
+        prefix = f"nd_{uuid.uuid4().hex[:8]}"
+        dedup.write_neardup_store(
+            dedup.minhash_signatures(A, "doc_id", "text", n=3),
+            prefix, n_buckets=4, path=str(tmp_path / "store"),
+        )
+        key = lambda df: {
+            (a, b): j for a, b, j in zip(df.doc_id, df.dup_id, df.jaccard)
+        }
+        try:
+            s_sigs, s_banded = dedup.read_neardup_store(spark, prefix)
+            got_b = dedup.minhash_lsh_pairs_incremental(
+                B, A, "doc_id", "text", n=3, threshold=0.7,
+                old_sigs=s_sigs, old_banded=s_banded,
+            ).toPandas()
+            want_b = dedup.minhash_lsh_pairs_incremental(
+                B, A, "doc_id", "text", n=3, threshold=0.7,
+            ).toPandas()
+            assert key(got_b) == key(want_b) and len(want_b)
+
+            dedup.append_neardup_store(
+                dedup.minhash_signatures(B, "doc_id", "text", n=3),
+                prefix, n_buckets=4,
+            )
+            s_sigs, s_banded = dedup.read_neardup_store(spark, prefix)
+            AB = A.unionByName(B)
+            got_c = dedup.minhash_lsh_pairs_incremental(
+                C, AB, "doc_id", "text", n=3, threshold=0.7,
+                old_sigs=s_sigs, old_banded=s_banded,
+            ).toPandas()
+            want_c = dedup.minhash_lsh_pairs_incremental(
+                C, AB, "doc_id", "text", n=3, threshold=0.7,
+            ).toPandas()
+            assert key(got_c) == key(want_c) and len(want_c)
+            # C near-dups B's shifted copies too, so the append really
+            # entered the standing corpus (non-vacuous)
+            assert any(a >= 1000 and b >= 2000 for a, b in key(got_c))
+        finally:
+            spark.sql(f"DROP TABLE IF EXISTS {prefix}_sigs")
+            spark.sql(f"DROP TABLE IF EXISTS {prefix}_banded")
+
+    def test_minhash_incremental_banded_requires_sigs(self, spark, docs):
+        import pytest
+
+        banded = dedup.band_buckets(
+            dedup.minhash_signatures(
+                docs.select("doc_id", "text"), "doc_id", "text", n=3
+            ),
+            16, 4,
+        )
+        with pytest.raises(ValueError, match="old_banded requires old_sigs"):
+            dedup.minhash_lsh_pairs_incremental(
+                docs.select("doc_id", "text"), docs.select("doc_id", "text"),
+                "doc_id", "text", n=3, old_banded=banded,
+            )
+
     def test_minhash_deterministic(self, spark, docs):
         a = dedup.minhash_signatures(docs, "doc_id", "text").toPandas()
         b = dedup.minhash_signatures(docs, "doc_id", "text").toPandas()

@@ -313,6 +313,47 @@ class TestBucketedStore:
         spark.sql("DROP TABLE IF EXISTS bt_stats")
 
 
+class TestNeardupStorePlan:
+    def test_banded_store_side_never_shuffles(self, spark, tmp_path):
+        """The incremental near-dup layout (dedup.write_neardup_store): the
+        standing banding, bucketed by (band, bucket), joins an arriving
+        shard's banding with NO Exchange on the store side — only the
+        shard-sized side shuffles.  A plain parquet read of the SAME files
+        forgets the bucketing and shuffles BOTH sides; that delta is the
+        O(standing)-per-shard shuffle the layout exists to remove."""
+        import uuid
+
+        from py_evalfilter_spark.operators import dedup
+
+        docs = dq._read(spark, SF, "documents").select("doc_id", "text").limit(200)
+        shard = docs.limit(40).select(
+            (F.col("doc_id") + 10_000_000).alias("doc_id"), "text"
+        )
+        prefix = f"ndplan_{uuid.uuid4().hex[:8]}"
+        dedup.write_neardup_store(
+            dedup.minhash_signatures(docs, "doc_id", "text"),
+            prefix, n_buckets=4, path=str(tmp_path / "store"),
+        )
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            _, banded_store = dedup.read_neardup_store(spark, prefix)
+            banded_shard = dedup.band_buckets(
+                dedup.minhash_signatures(shard, "doc_id", "text"), 16, 4
+            )
+            joined = banded_shard.join(banded_store, ["band", "bucket"])
+            jplan = _plan(joined)
+            assert jplan.count("Exchange hashpartitioning") == 1, jplan
+
+            raw = spark.read.parquet(str(tmp_path / "store" / "banded"))
+            rplan = _plan(banded_shard.join(raw, ["band", "bucket"]))
+            assert rplan.count("Exchange hashpartitioning") == 2, rplan
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+            spark.sql(f"DROP TABLE IF EXISTS {prefix}_sigs")
+            spark.sql(f"DROP TABLE IF EXISTS {prefix}_banded")
+
+
 class TestUdfProperties:
     def test_scalar_feature_udf_prunes_under_count(self, spark):
         t = dq.transcripts_df(spark, SF)
