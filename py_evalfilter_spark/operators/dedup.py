@@ -729,6 +729,7 @@ def write_neardup_store(
     n_buckets: int = 32,
     path: str | None = None,
     mode: str = "overwrite",
+    bucket_sigs: bool = False,
 ) -> None:
     """Persist a standing corpus's minhash signatures in the layout the
     daily-shard regime wants, as two catalog tables:
@@ -751,18 +752,31 @@ def write_neardup_store(
     `mode="append"` adds a shard's rows to both tables (Spark validates
     the bucket spec matches the existing tables); `append_neardup_store`
     wraps that with the banding derivation.
+
+    The sigs table is plain by default (`bucket_sigs=False`): the only
+    consumer is the estimate filter, which joins it against the
+    broadcast-small candidate sliver — a doc_id bucketing would never be
+    exploited there, and per-shard bucketed appends pay a local sort +
+    per-bucket files for nothing.  Set `bucket_sigs=True` only if a
+    downstream co-located doc_id join will read the table.
     """
     from ..sources.tables import write_bucketed
 
     assert num_perm % bands == 0
-    write_bucketed(
-        sigs,
-        f"{table_prefix}_sigs",
-        ["doc_id"],
-        n_buckets,
-        path=(f"{path}/sigs" if path else None),
-        mode=mode,
-    )
+    if bucket_sigs:
+        write_bucketed(
+            sigs,
+            f"{table_prefix}_sigs",
+            ["doc_id"],
+            n_buckets,
+            path=(f"{path}/sigs" if path else None),
+            mode=mode,
+        )
+    else:
+        w = sigs.write.mode(mode).format("parquet")
+        if path:
+            w = w.option("path", f"{path}/sigs")
+        w.saveAsTable(f"{table_prefix}_sigs")
     write_bucketed(
         band_buckets(sigs, bands, num_perm // bands),
         f"{table_prefix}_banded",
@@ -780,11 +794,13 @@ def append_neardup_store(
     bands: int = 16,
     num_perm: int = 64,
     n_buckets: int = 32,
+    bucket_sigs: bool = False,
 ) -> None:
     """Append a processed shard's signatures (and their banding) to an
     existing neardup store — the amortized daily loop: dedup the shard
     against the store, then fold it in so the NEXT shard sees it as
-    standing.  Each document is shingled exactly once in its lifetime."""
+    standing.  Each document is shingled exactly once in its lifetime.
+    `bucket_sigs` must match the value the store was written with."""
     write_neardup_store(
         shard_sigs,
         table_prefix,
@@ -792,6 +808,7 @@ def append_neardup_store(
         num_perm=num_perm,
         n_buckets=n_buckets,
         mode="append",
+        bucket_sigs=bucket_sigs,
     )
 
 

@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions import pii, textanalysis
+from ..operators import bloom as bloom_ops
 from ..operators import corpus as corpus_ops
 from ..operators import dedup, graph
 from ..pinning import PinScope
@@ -133,6 +134,8 @@ def curate_corpus(
     source_token_budget: int | None = None,
     budget: int = 256,
     benchmark_source: str = "src0",
+    standing: DataFrame | None = None,
+    standing_count: int | None = None,
     observations: dict[str, Observation] | None = None,
     pins: PinScope | None = None,
 ) -> DataFrame:
@@ -169,6 +172,23 @@ def curate_corpus(
     # (tables.run_stage parquet checkpoints); in-memory persist is the
     # single-job equivalent.  Eviction: the `pins` scope (pinning.py);
     # without one, frames stay in the session cache under LRU.
+
+    # 0a (optional): ingest dedup against an already-curated STANDING
+    # corpus (the daily-crawl regime: never re-process what's already
+    # landed).  Bloom prefilter (operators/bloom) — the standing side is
+    # read map-side into an m-bit filter, probes are map-side, and only
+    # the Bloom-positive sliver (true re-ingests + ~1e-3 FPs) enters the
+    # exact confirm join — so the stage costs one standing key-column
+    # scan, not a corpus×shard shuffle.  FIRST of all stages: every
+    # downstream filter/shuffle sees only genuinely-new rows.
+    if standing is not None:
+        corpus = obs(
+            bloom_ops.bloom_dedup_against(
+                corpus, standing.select("text"), "text",
+                fp_rate=1e-3, n_standing=standing_count,
+            ),
+            "ingest_dedup",
+        )
 
     # 0 (optional): the published structural cleanups — C4's line/page
     # rules and Gopher's doc-quality rules.  Both are MAP-ONLY, so they
@@ -342,6 +362,7 @@ def curate_corpus_staged(
     source_token_budget: int | None = None,
     budget: int = 256,
     benchmark_source: str = "src0",
+    standing_path: str | None = None,
 ) -> tuple[DataFrame, dict]:
     """Durable, resumable curation: the same flow as :func:`curate_corpus`
     split into three manifest-checkpointed stages (tables.run_stage — the
@@ -389,6 +410,13 @@ def curate_corpus_staged(
         corpus = docs.filter(F.col("source") != benchmark_source).repartition(
             input_partitions(spark)
         )
+        if standing_path is not None:
+            corpus = bloom_ops.bloom_dedup_against(
+                corpus,
+                spark.read.parquet(standing_path).select("text"),
+                "text",
+                fp_rate=1e-3,
+            )
         if c4_rules:
             corpus = (
                 corpus_ops.c4_filter(corpus)
@@ -431,6 +459,7 @@ def curate_corpus_staged(
             "classifier_min": classifier_min,
             "line_dedup": line_dedup,
             "benchmark_source": benchmark_source,
+            "standing_path": standing_path,
         },
         build_filtered,
     )

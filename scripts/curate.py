@@ -36,6 +36,10 @@ def main() -> None:
     ap.add_argument("--minhash-threshold", type=float, default=0.8)
     ap.add_argument("--semantic-threshold", type=float, default=None)
     ap.add_argument("--decontam-n", type=int, default=6)
+    ap.add_argument("--standing-path", default=None,
+                    help="parquet of already-curated documents (text column)"
+                    " — ingest-dedup the input against it (Bloom prefilter"
+                    " + exact confirm) before any other stage")
     a = ap.parse_args()
     sf_dir, out_dir = a.sf_dir, a.out_dir
     budget, quality_min = a.budget, a.quality_min
@@ -54,6 +58,7 @@ def main() -> None:
         minhash_threshold=minhash_threshold,
         semantic_threshold=semantic_threshold,
         decontam_n=decontam_n,
+        standing_path=a.standing_path,
     )
     n = packed.count()
     print(

@@ -244,6 +244,46 @@ class TestExtendedStages:
         )
         assert staged == mem and len(staged) > 0
 
+    def test_ingest_dedup_drops_standing_and_modes_agree(self, spark, tmp_path):
+        """The 0a ingest-dedup stage (Bloom prefilter against a standing
+        corpus): every input doc whose text already exists in standing is
+        dropped before any other stage (observation row math), none ever
+        reaches the output, and the staged mode (standing_path) produces
+        the identical corpus."""
+        from pyspark.sql import functions as F
+
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        standing_pq = str(tmp_path / "standing.parquet")
+        docs.filter(
+            (F.col("source") != "src0") & (F.col("doc_id") % 3 == 0)
+        ).select("text").write.parquet(standing_pq)
+        standing = spark.read.parquet(standing_pq)
+
+        obs = {}
+        mem = curation.curate_corpus(
+            spark, SF, budget=256, standing=standing, observations=obs
+        )
+        mem_ids = sorted(r["doc_id"] for r in mem.collect())
+        dropped = {
+            r["doc_id"]
+            for r in docs.filter(F.col("source") != "src0")
+            .join(standing, "text", "left_semi")
+            .collect()
+        }
+        assert dropped and mem_ids and not (set(mem_ids) & dropped)
+        assert (
+            obs["input"].get["rows"] - obs["ingest_dedup"].get["rows"]
+            == len(dropped)
+        )
+
+        out = str(tmp_path / "curated_standing")
+        packed, m = curation.curate_corpus_staged(
+            spark, SF, out, budget=256, standing_path=standing_pq
+        )
+        staged_ids = sorted(r["doc_id"] for r in packed.collect())
+        assert staged_ids == mem_ids
+        assert m["filtered"]["resumed"] is False
+
     def test_classifier_stage_only_shrinks(self, spark):
         base = curation.curate_corpus(spark, SF, budget=256).count()
         cut = curation.curate_corpus(
