@@ -28,10 +28,11 @@ Scale notes:
     keys, shard the filter by key range (build one per pmod(xxhash64(key),
     S) slice and probe each shard's rows against its slice) — same code,
     driven S times.
-  * hashing stays JVM-side (xxhash64 with a per-probe salt column, pmod
-    into [0, m)); Python touches only the bitmap — a vectorized
-    fancy-index lookup per batch (scalar pandas_udf, Arrow transfer of k
-    long columns, per CLAUDE.md's Arrow discipline).
+  * two xxhash64 hashes per key stay JVM-side; the k probe positions
+    derive in numpy via Kirsch-Mitzenmacher double hashing, so Arrow
+    moves 16 bytes/row regardless of k; Python touches only the bitmap —
+    vectorized fancy-index lookups per batch (scalar pandas_udf, per
+    CLAUDE.md's Arrow discipline).
   * the confirm join's standing side still shuffles by key unless the
     standing keys live in a key-bucketed table (sources/tables.
     write_bucketed) — then only the candidate sliver moves.  Pair them
@@ -66,16 +67,28 @@ def theoretical_fp_rate(n_bits: int, n_hashes: int, n_keys: int) -> float:
     return (1.0 - math.exp(-n_hashes * n_keys / n_bits)) ** n_hashes
 
 
-def _position_cols(key_col: str, n_bits: int, n_hashes: int, seed: int):
-    """k bit positions per row, all JVM-side: xxhash64 salted by the probe
-    index (xxhash64's own seed is fixed in the SQL function, so the salt
-    rides as a leading literal column), pmod'd into [0, n_bits)."""
+def _hash_cols(key_col: str, seed: int):
+    """Two independent 64-bit hashes per key, JVM-side (xxhash64 salted by
+    a leading literal — its own seed is fixed in the SQL function).  The k
+    probe positions derive from these via Kirsch-Mitzenmacher double
+    hashing in numpy (`_positions`), so the Arrow transfer is 16 bytes/row
+    regardless of k instead of 8k."""
     return [
-        F.pmod(
-            F.xxhash64(F.lit(seed + i), F.col(key_col)), F.lit(n_bits)
-        ).cast("long")
-        for i in range(n_hashes)
+        F.xxhash64(F.lit(seed), F.col(key_col)).alias("h1"),
+        F.xxhash64(F.lit(seed + 1), F.col(key_col)).alias("h2"),
     ]
+
+
+def _positions(h1: np.ndarray, h2: np.ndarray, n_bits: int, n_hashes: int):
+    """g_i = h1 + i·(h2|1) mod m, i in [0, k) — the double-hashing scheme
+    (Kirsch & Mitzenmacher 2006: preserves the Bloom FP bound).  h2 forced
+    odd so a zero/even stride can't degenerate all probes onto one bit;
+    int64 wraparound is numpy-defined and deterministic; numpy's % takes
+    the divisor's sign, so positions are already non-negative.  Yields
+    one position array per probe."""
+    stride = h2 | np.int64(1)
+    for i in range(n_hashes):
+        yield (h1 + np.int64(i) * stride) % n_bits
 
 
 def build_bloom(
@@ -91,8 +104,9 @@ def build_bloom(
     the per-partition bitmaps (one binary row each) OR-merge on the
     driver.  Deterministic: xxhash64 is seed-fixed and salt-varied."""
     n_bytes = (n_bits + 7) // 8
-    pos = df.select(
-        F.array(*_position_cols(key_col, n_bits, n_hashes, seed)).alias("pos")
+    spark = df.sparkSession
+    hashes = df.select(*_hash_cols(key_col, seed)).coalesce(
+        spark.sparkContext.defaultParallelism
     )
 
     def fold(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
@@ -100,16 +114,18 @@ def build_bloom(
         seen = False
         for batch in batches:
             seen = True
-            flat = batch.column(0).flatten().to_numpy(zero_copy_only=False)
-            np.bitwise_or.at(
-                bits, flat >> 3, (1 << (flat & 7)).astype(np.uint8)
-            )
+            h1 = batch.column(0).to_numpy(zero_copy_only=False)
+            h2 = batch.column(1).to_numpy(zero_copy_only=False)
+            for p in _positions(h1, h2, n_bits, n_hashes):
+                np.bitwise_or.at(
+                    bits, p >> 3, (1 << (p & 7)).astype(np.uint8)
+                )
         if seen:
             yield pa.RecordBatch.from_arrays(
                 [pa.array([bits.tobytes()], pa.binary())], ["bitmap"]
             )
 
-    parts = pos.mapInArrow(fold, "bitmap binary").collect()
+    parts = hashes.mapInArrow(fold, "bitmap binary").collect()
     merged = np.zeros(n_bytes, np.uint8)
     for row in parts:
         merged |= np.frombuffer(row["bitmap"], np.uint8)
@@ -132,17 +148,16 @@ def with_bloom_probe(
     bc = df.sparkSession.sparkContext.broadcast(bloom)
 
     @F.pandas_udf("boolean")
-    def probe(*pos_cols: pd.Series) -> pd.Series:
+    def probe(h1s: pd.Series, h2s: pd.Series) -> pd.Series:
         bits = np.frombuffer(bc.value, np.uint8)
-        ok = np.ones(len(pos_cols[0]), bool)
-        for p in pos_cols:
-            v = p.to_numpy(dtype=np.int64)
-            ok &= ((bits[v >> 3] >> (v & 7)) & 1).astype(bool)
+        h1 = h1s.to_numpy(dtype=np.int64)
+        h2 = h2s.to_numpy(dtype=np.int64)
+        ok = np.ones(len(h1), bool)
+        for p in _positions(h1, h2, n_bits, n_hashes):
+            ok &= ((bits[p >> 3] >> (p & 7)) & 1).astype(bool)
         return pd.Series(ok)
 
-    return df.withColumn(
-        out_col, probe(*_position_cols(key_col, n_bits, n_hashes, seed))
-    )
+    return df.withColumn(out_col, probe(*_hash_cols(key_col, seed)))
 
 
 def bloom_dedup_against(
@@ -153,6 +168,7 @@ def bloom_dedup_against(
     n_standing: int | None = None,
     confirm: bool = True,
     seed: int = 42,
+    prebuilt: tuple[bytes, int] | None = None,
 ) -> DataFrame:
     """Rows of `new` whose `key_col` does not occur in `standing`.
 
@@ -164,10 +180,20 @@ def bloom_dedup_against(
 
     `n_standing` sizes the filter; pass the known corpus row count to skip
     the counting pass (an approximate count is fine — ε degrades
-    gracefully if undersized)."""
-    n = n_standing if n_standing is not None else standing.count()
-    n_bits, n_hashes = bloom_params(n, fp_rate)
-    bloom = build_bloom(standing, key_col, n_bits, n_hashes, seed)
+    gracefully if undersized).
+
+    `prebuilt` = (bitmap, n_hashes) from an earlier `build_bloom` over the
+    SAME standing keys and seed — the daily-shard amortization: build the
+    filter once at backfill (and OR-merge each shard's own bitmap into it
+    after ingest — Bloom filters union by bitwise OR), then every shard
+    pays only the map-side probe + the sliver confirm, never the standing
+    build scan."""
+    if prebuilt is not None:
+        bloom, n_hashes = prebuilt
+    else:
+        n = n_standing if n_standing is not None else standing.count()
+        n_bits, n_hashes = bloom_params(n, fp_rate)
+        bloom = build_bloom(standing, key_col, n_bits, n_hashes, seed)
     flagged = with_bloom_probe(
         new, key_col, bloom, n_hashes, seed, out_col="__maybe"
     )

@@ -81,6 +81,7 @@ def main() -> None:
     n_shard = shard.count()
 
     # --- A: bloom vs anti-join ------------------------------------------
+    # cold path: filter built inside the call (single-shot cost)
     t0 = time.perf_counter()
     kept_bloom = bloom.bloom_dedup_against(
         shard, standing, "text", fp_rate=1e-3, n_standing=n_standing
@@ -88,6 +89,22 @@ def main() -> None:
     kept_bloom.write.parquet(f"{work}/kept_bloom.parquet")
     bloom_sec = time.perf_counter() - t0
     n_kept = spark.read.parquet(f"{work}/kept_bloom.parquet").count()
+
+    # amortized path: build once (the backfill), then each shard pays
+    # probe + sliver-confirm only — 3 timed shard reps over the persisted
+    # filter (the daily loop; filters union by OR after each ingest)
+    n_bits_a, n_hashes_a = bloom.bloom_params(n_standing, 1e-3)
+    t0 = time.perf_counter()
+    filt = bloom.build_bloom(standing, "text", n_bits_a, n_hashes_a)
+    build_sec = round(time.perf_counter() - t0, 2)
+    probe_secs = []
+    for rep in range(3):
+        t0 = time.perf_counter()
+        bloom.bloom_dedup_against(
+            shard, standing, "text", prebuilt=(filt, n_hashes_a)
+        ).write.mode("overwrite").parquet(f"{work}/kept_probe.parquet")
+        probe_secs.append(round(time.perf_counter() - t0, 2))
+    n_kept_probe = spark.read.parquet(f"{work}/kept_probe.parquet").count()
 
     t0 = time.perf_counter()
     shard.join(standing.select("text"), "text", "left_anti").write.parquet(
@@ -132,9 +149,14 @@ def main() -> None:
         "bloom": {
             "sec": round(bloom_sec, 2),
             "anti_join_sec": round(anti_sec, 2),
+            "build_once_sec": build_sec,
+            "probe_confirm_secs": probe_secs,
             "kept": n_kept,
             "kept_anti_join": n_kept_anti,
-            "exact_match": bool(ids_equal and n_kept == n_kept_anti),
+            "kept_probe": n_kept_probe,
+            "exact_match": bool(
+                ids_equal and n_kept == n_kept_anti == n_kept_probe
+            ),
             "filter_mib": round(n_bits / 8 / 2**20, 1),
             "n_hashes": n_hashes,
             "standing_docs_per_sec": round(n_standing / bloom_sec, 1),

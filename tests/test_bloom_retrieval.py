@@ -81,6 +81,13 @@ class TestBloomFilter:
                 new, old, "k", fp_rate=fp, confirm=True
             )
             assert {r["id"] for r in got.select("id").collect()} == want, fp
+        # prebuilt-filter path (the amortized daily loop) is identical
+        n_bits, k = bloom.bloom_params(200, 1e-3)
+        filt = bloom.build_bloom(old, "k", n_bits, k)
+        got_pre = bloom.bloom_dedup_against(
+            new, old, "k", prebuilt=(filt, k)
+        )
+        assert {r["id"] for r in got_pre.select("id").collect()} == want
         assert want and len(want) < 300  # non-vacuous both ways
 
     def test_dedup_unconfirmed_never_keeps_a_duplicate(self, spark):
