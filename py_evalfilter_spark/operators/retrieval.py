@@ -64,6 +64,64 @@ def bm25_postings(
     return postings, doc_len
 
 
+def write_bm25_index(
+    postings: DataFrame,
+    doc_len: DataFrame,
+    table_prefix: str,
+    n_buckets: int = 64,
+    path: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist the index as catalog tables:
+
+      {prefix}_postings  bucketed + sorted by term
+      {prefix}_doclen    plain
+
+    Term-bucketing is the query-latency lever: `isin(query_terms)` is a
+    literal IN on the bucket column, which FileSourceScan prunes to the
+    probed terms' buckets (`SelectedBucketsCount: q out of N` in the
+    plan, pinned by tests) — a 4-term query against a 64-bucket postings
+    table scans ≤ 4/64 of the corpus postings regardless of corpus size.
+    Size n_buckets so one bucket ≈ one task's worth of postings at target
+    scale; more buckets = sharper pruning (a probe term costs ~1/N of
+    the table).  doc_len stays plain: it joins the term-filtered hits on
+    doc_id, a distribution term-bucketing cannot serve."""
+    from ..sources.tables import write_bucketed
+
+    write_bucketed(
+        postings,
+        f"{table_prefix}_postings",
+        ["term"],
+        n_buckets,
+        sort_cols=["term"],
+        path=(f"{path}/postings" if path else None),
+        mode=mode,
+    )
+    w = doc_len.write.mode(mode).format("parquet")
+    if path:
+        w = w.option("path", f"{path}/doclen")
+    w.saveAsTable(f"{table_prefix}_doclen")
+
+
+def read_bm25_index(spark, table_prefix: str) -> tuple[DataFrame, DataFrame]:
+    """(postings, doc_len) with bucket metadata intact (spark.table — a
+    plain parquet read would forget the bucketing and lose the pruning)."""
+    return (
+        spark.table(f"{table_prefix}_postings"),
+        spark.table(f"{table_prefix}_doclen"),
+    )
+
+
+def bm25_stats(doc_len: DataFrame) -> tuple[int, float]:
+    """(n_docs, avgdl) — the two corpus scalars every query folds in as
+    literals.  Compute once at index time and pass to bm25_scores/
+    bm25_topk so queries skip the doc_len aggregate."""
+    row = doc_len.agg(
+        F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")
+    ).collect()[0]
+    return row["n"], row["avgdl"]
+
+
 def bm25_scores(
     docs: DataFrame,
     id_col: str,
@@ -73,6 +131,7 @@ def bm25_scores(
     b: float = 0.75,
     postings: DataFrame | None = None,
     doc_len: DataFrame | None = None,
+    stats: tuple[int, float] | None = None,
 ) -> DataFrame:
     """(doc_id, bm25) for every document matching ≥1 query term.
 
@@ -81,14 +140,15 @@ def bm25_scores(
 
     N and avgdl are corpus scalars — computed with one tiny aggregate and
     folded in as literals (two doubles to the driver, not a collect of
-    data).  Pass a persisted (postings, doc_len) pair to skip re-indexing."""
+    data).  Pass a persisted (postings, doc_len) pair to skip re-indexing,
+    and `stats=(n_docs, avgdl)` (from `bm25_stats`, computed once at index
+    time) to skip the per-query doc_len aggregate too."""
     terms = tokenize_query(query)
     if postings is None or doc_len is None:
         postings, doc_len = bm25_postings(docs, id_col, text_col)
-    stats = doc_len.agg(
-        F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")
-    ).collect()[0]
-    n_docs, avgdl = stats["n"], stats["avgdl"]
+    if stats is None:
+        stats = bm25_stats(doc_len)
+    n_docs, avgdl = stats
 
     hits = postings.filter(F.col("term").isin(terms))
     dfreq = hits.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
@@ -124,12 +184,13 @@ def bm25_topk(
     b: float = 0.75,
     postings: DataFrame | None = None,
     doc_len: DataFrame | None = None,
+    stats: tuple[int, float] | None = None,
 ) -> DataFrame:
     """Top-k by (bm25 desc, doc_id asc — deterministic tie order), via
     TakeOrderedAndProject (bounded per-partition heaps, no global sort)."""
     return (
         bm25_scores(
-            docs, id_col, text_col, query, k1, b, postings, doc_len
+            docs, id_col, text_col, query, k1, b, postings, doc_len, stats
         )
         .orderBy(F.col("bm25").desc(), F.col("doc_id"))
         .limit(k)

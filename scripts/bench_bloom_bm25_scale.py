@@ -141,6 +141,30 @@ def main() -> None:
         query_secs[q] = {"sec": round(time.perf_counter() - t0, 2),
                          "hits": n_hits}
 
+    # the term-bucketed catalog index: isin(query terms) bucket-prunes
+    # the postings scan (SelectedBucketsCount), so per-query postings IO
+    # is ~terms/n_buckets of the table regardless of corpus size
+    import uuid
+
+    prefix = f"bm25_bench_{uuid.uuid4().hex[:8]}"
+    t0 = time.perf_counter()
+    retrieval.write_bm25_index(
+        postings, doc_len, prefix, n_buckets=64, path=f"{work}/bm25_idx"
+    )
+    store_sec = round(time.perf_counter() - t0, 2)
+    sp, sd = retrieval.read_bm25_index(spark, prefix)
+    bucketed_query_secs = {}
+    for q in ("spark hash join vector", "customer order line", "merge sort"):
+        t0 = time.perf_counter()
+        n_hits = retrieval.bm25_topk(
+            standing, "doc_id", "text", q, k=100,
+            postings=sp, doc_len=sd,
+        ).count()
+        bucketed_query_secs[q] = {"sec": round(time.perf_counter() - t0, 2),
+                                  "hits": n_hits}
+
+    spark.sql(f"DROP TABLE IF EXISTS {prefix}_postings")
+    spark.sql(f"DROP TABLE IF EXISTS {prefix}_doclen")
     shutil.rmtree(work, ignore_errors=True)
     print(json.dumps({
         "metric": "bloom_bm25_scale",
@@ -166,6 +190,8 @@ def main() -> None:
             "index_docs_per_sec": round(n_standing / index_sec, 1),
             "n_postings": n_postings,
             "queries": query_secs,
+            "bucketed_store_write_sec": store_sec,
+            "bucketed_queries": bucketed_query_secs,
         },
         "cpus": args.cpus,
     }))

@@ -214,6 +214,41 @@ class TestBM25:
             sdf, "doc_id", "text", "zzz qqq"
         ).count() == 0
 
+    def test_bucketed_index_prunes_and_matches(self, spark, docs, tmp_path):
+        """The persisted term-bucketed index: isin(query_terms) bucket-
+        prunes the postings scan (SelectedBucketsCount < total), and the
+        scored output is identical to the inline-index path."""
+        import re as _re
+        import uuid
+
+        sdf, _ = docs
+        postings, dl = retrieval.bm25_postings(sdf, "doc_id", "text")
+        prefix = f"bm25_{uuid.uuid4().hex[:8]}"
+        retrieval.write_bm25_index(
+            postings, dl, prefix, n_buckets=8, path=str(tmp_path / "idx")
+        )
+        try:
+            sp, sd = retrieval.read_bm25_index(spark, prefix)
+            got = retrieval.bm25_scores(
+                sdf, "doc_id", "text", "spark data",
+                postings=sp, doc_len=sd,
+            )
+            plan = got._jdf.queryExecution().executedPlan().toString()
+            m = _re.search(r"SelectedBucketsCount: (\d+) out of (\d+)", plan)
+            assert m, plan
+            assert int(m.group(1)) <= 2 < int(m.group(2)) == 8
+            want = retrieval.bm25_scores(
+                sdf, "doc_id", "text", "spark data"
+            ).toPandas()
+            gp = got.toPandas()
+            key = lambda df: {
+                (d, round(s, 9)) for d, s in zip(df.doc_id, df.bm25)
+            }
+            assert key(gp) == key(want) and len(gp)
+        finally:
+            spark.sql(f"DROP TABLE IF EXISTS {prefix}_postings")
+            spark.sql(f"DROP TABLE IF EXISTS {prefix}_doclen")
+
     def test_persisted_index_identical(self, spark, docs):
         sdf, _ = docs
         postings, dl = retrieval.bm25_postings(sdf, "doc_id", "text")
@@ -221,7 +256,11 @@ class TestBM25:
         c = retrieval.bm25_scores(
             sdf, "doc_id", "text", "spark data", postings=postings, doc_len=dl
         ).toPandas()
+        s = retrieval.bm25_scores(
+            sdf, "doc_id", "text", "spark data", postings=postings,
+            doc_len=dl, stats=retrieval.bm25_stats(dl),
+        ).toPandas()
         key = lambda df: {
-            (d, round(s, 9)) for d, s in zip(df.doc_id, df.bm25)
+            (d, round(s_, 9)) for d, s_ in zip(df.doc_id, df.bm25)
         }
-        assert key(a) == key(c)
+        assert key(a) == key(c) == key(s)
