@@ -824,6 +824,68 @@ def read_neardup_store(
     )
 
 
+def compact_neardup_store(
+    spark,
+    table_prefix: str,
+    bands: int = 16,
+    num_perm: int = 64,
+    n_buckets: int = 32,
+    bucket_sigs: bool = False,
+) -> None:
+    """Rewrite the store in place, collapsing append debris: each bucketed
+    append adds up to tasks×n_buckets new files, so after many shards the
+    banded scan pays file-open overhead proportional to append COUNT, not
+    data size.  Run this on the maintenance cadence a real pipeline would
+    (e.g. weekly for daily shards).  The rewrite stages through temp
+    tables then swaps, so a concurrent reader of the old tables in the
+    same session sees either the old or the new listing, and the banding
+    is REUSED from the stored table — documents are not re-banded.  The
+    superseded data directories are left on disk (their tables are
+    dropped); reclaim them with the storage layer's GC — the function
+    cannot know whether another engine still reads them."""
+    import uuid
+
+    sigs, banded = read_neardup_store(spark, table_prefix)
+    loc = (
+        spark.sql(f"DESCRIBE TABLE EXTENDED {table_prefix}_sigs")
+        .filter(F.col("col_name") == "Location")
+        .collect()
+    )
+    # derive the external base dir ONLY from write_neardup_store's layout
+    # (.../sigs); a managed table's location is its own table dir, which
+    # DROP TABLE deletes — writing the compacted data inside it would
+    # destroy the new files along with the old table
+    base = (
+        loc[0]["data_type"][: -len("/sigs")]
+        if loc and loc[0]["data_type"].endswith("/sigs")
+        else None
+    )
+    gen = uuid.uuid4().hex[:8]
+    tmp = f"{table_prefix}_compact_{gen}"
+    from ..sources.tables import write_bucketed
+
+    if bucket_sigs:
+        write_bucketed(
+            sigs, f"{tmp}_sigs", ["doc_id"], n_buckets,
+            path=(f"{base}/sigs_{gen}" if base else None),
+        )
+    else:
+        w = sigs.write.format("parquet")
+        if base:
+            w = w.option("path", f"{base}/sigs_{gen}")
+        w.saveAsTable(f"{tmp}_sigs")
+    write_bucketed(
+        banded, f"{tmp}_banded", ["band", "bucket"], n_buckets,
+        sort_cols=["band", "bucket"],
+        path=(f"{base}/banded_{gen}" if base else None),
+    )
+    for suffix in ("sigs", "banded"):
+        spark.sql(f"DROP TABLE IF EXISTS {table_prefix}_{suffix}")
+        spark.sql(
+            f"ALTER TABLE {tmp}_{suffix} RENAME TO {table_prefix}_{suffix}"
+        )
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

@@ -258,6 +258,94 @@ class TestDedup:
             spark.sql(f"DROP TABLE IF EXISTS {prefix}_sigs")
             spark.sql(f"DROP TABLE IF EXISTS {prefix}_banded")
 
+    def test_neardup_store_compaction(self, spark, docs, tmp_path):
+        """compact_neardup_store: after several appends the banded table
+        carries append debris (many small files); compaction rewrites both
+        tables, SHRINKS the banded file count, keeps row-level content
+        identical, keeps the (band,bucket) bucketing (incremental results
+        unchanged), and survives repeat compactions."""
+        import os
+        import uuid
+
+        from pyspark.sql import functions as F
+
+        A = docs.select("doc_id", "text")
+        prefix = f"nd_{uuid.uuid4().hex[:8]}"
+        store_dir = tmp_path / "store"
+        dedup.write_neardup_store(
+            dedup.minhash_signatures(A, "doc_id", "text", n=3),
+            prefix, n_buckets=4, path=str(store_dir),
+        )
+        try:
+            for off in (1000, 2000, 3000):
+                shard = docs.select(
+                    (F.col("doc_id") + off).alias("doc_id"),
+                    F.concat("text", F.lit(f" s{off}")).alias("text"),
+                )
+                dedup.append_neardup_store(
+                    dedup.minhash_signatures(shard, "doc_id", "text", n=3),
+                    prefix, n_buckets=4,
+                )
+            def banded_rows():
+                _, b = dedup.read_neardup_store(spark, prefix)
+                return sorted(
+                    (r["doc_id"], r["band"], r["bucket"]) for r in b.collect()
+                )
+            def n_files(sub):
+                d = store_dir / sub
+                if not d.exists():
+                    # compaction relocates data dirs under the store base
+                    return None
+                return sum(
+                    1 for f in os.listdir(d) if f.endswith(".parquet")
+                )
+            before = banded_rows()
+            files_before = n_files("banded")
+            dedup.compact_neardup_store(spark, prefix, n_buckets=4)
+            assert banded_rows() == before
+            # compacted data lives in a fresh dir under the same base
+            gen_dirs = [
+                d for d in os.listdir(store_dir)
+                if d.startswith("banded_") and d != "banded"
+            ]
+            assert len(gen_dirs) == 1
+            files_after = sum(
+                1 for f in os.listdir(store_dir / gen_dirs[0])
+                if f.endswith(".parquet")
+            )
+            assert files_after < files_before, (files_after, files_before)
+            # incremental over the compacted store still matches recompute
+            new = docs.select(
+                (F.col("doc_id") + 9000).alias("doc_id"),
+                F.concat("text", F.lit(" s1000")).alias("text"),
+            )
+            AB = A
+            for off in (1000, 2000, 3000):
+                AB = AB.unionByName(
+                    docs.select(
+                        (F.col("doc_id") + off).alias("doc_id"),
+                        F.concat("text", F.lit(f" s{off}")).alias("text"),
+                    )
+                )
+            s_sigs, s_banded = dedup.read_neardup_store(spark, prefix)
+            key = lambda df: {
+                (a, b): j for a, b, j in zip(df.doc_id, df.dup_id, df.jaccard)
+            }
+            got = dedup.minhash_lsh_pairs_incremental(
+                new, AB, "doc_id", "text", n=3, threshold=0.7,
+                old_sigs=s_sigs, old_banded=s_banded,
+            ).toPandas()
+            want = dedup.minhash_lsh_pairs_incremental(
+                new, AB, "doc_id", "text", n=3, threshold=0.7,
+            ).toPandas()
+            assert key(got) == key(want) and len(want)
+            # second compaction (fresh unique dirs) also works
+            dedup.compact_neardup_store(spark, prefix, n_buckets=4)
+            assert banded_rows() == before
+        finally:
+            spark.sql(f"DROP TABLE IF EXISTS {prefix}_sigs")
+            spark.sql(f"DROP TABLE IF EXISTS {prefix}_banded")
+
     def test_minhash_incremental_banded_requires_sigs(self, spark, docs):
         import pytest
 
