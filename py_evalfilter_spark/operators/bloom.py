@@ -22,12 +22,12 @@ outright (Dolma's accepted trade: ~ε of genuinely-new rows lost, zero
 joins) — approximate, never emits a true duplicate.
 
 Scale notes:
-  * the filter is built with per-partition numpy bitmaps OR-merged on the
-    driver — m/8 bytes each, so size m for driver memory: 1e9 keys at
-    ε=1e-3 → m≈1.44e10 bits ≈ 1.8 GB.  Beyond a few billion standing
-    keys, shard the filter by key range (build one per pmod(xxhash64(key),
-    S) slice and probe each shard's rows against its slice) — same code,
-    driven S times.
+  * the filter is built with per-partition numpy bitmaps OR-merged by an
+    executor-side treeReduce (the driver receives ONE m/8-byte bitmap);
+    size m for single-process memory: 1e9 keys at ε=1e-3 → m≈1.44e10
+    bits ≈ 1.8 GB.  Beyond a few billion standing keys, shard the filter
+    by key range (build one per pmod(xxhash64(key), S) slice and probe
+    each shard's rows against its slice) — same code, driven S times.
   * two xxhash64 hashes per key stay JVM-side; the k probe positions
     derive in numpy via Kirsch-Mitzenmacher double hashing, so Arrow
     moves 16 bytes/row regardless of k; Python touches only the bitmap —
@@ -101,8 +101,12 @@ def build_bloom(
     """One map-side pass over `df`'s key column → packed little-endian
     bitmap (n_bits/8 bytes).  Each partition folds its rows into a local
     numpy bitmap (mapInArrow — genuinely per-partition imperative state);
-    the per-partition bitmaps (one binary row each) OR-merge on the
-    driver.  Deterministic: xxhash64 is seed-fixed and salt-varied."""
+    the per-partition bitmaps (one binary row each) OR-merge with an
+    executor-side treeReduce, so the driver receives ONE bitmap — a
+    collect of all partition bitmaps would hold partitions×m/8 bytes on
+    the driver and become the binding ceiling long before the filter
+    itself does.  Deterministic: xxhash64 is seed-fixed and salt-varied;
+    OR is associative+commutative, so merge order is irrelevant."""
     n_bytes = (n_bits + 7) // 8
     spark = df.sparkSession
     hashes = df.select(*_hash_cols(key_col, seed)).coalesce(
@@ -125,11 +129,17 @@ def build_bloom(
                 [pa.array([bits.tobytes()], pa.binary())], ["bitmap"]
             )
 
-    parts = hashes.mapInArrow(fold, "bitmap binary").collect()
-    merged = np.zeros(n_bytes, np.uint8)
-    for row in parts:
-        merged |= np.frombuffer(row["bitmap"], np.uint8)
-    return merged.tobytes()
+    bitmaps = hashes.mapInArrow(fold, "bitmap binary").rdd.map(
+        lambda r: r["bitmap"]
+    )
+    if bitmaps.isEmpty():
+        return bytes(n_bytes)
+    return bitmaps.treeReduce(
+        lambda a, b: (
+            np.frombuffer(a, np.uint8) | np.frombuffer(b, np.uint8)
+        ).tobytes(),
+        depth=2,
+    )
 
 
 def with_bloom_probe(
@@ -143,7 +153,8 @@ def with_bloom_probe(
     """df + boolean `out_col`: True iff all k probe bits are set (member
     OR false positive; False ⇒ definitely not a member).  The bitmap
     ships to executors via a Spark broadcast; the probe is a scalar
-    pandas_udf over the k JVM-computed position columns."""
+    pandas_udf over the two JVM-computed hash columns (positions derived
+    in numpy, `_positions`)."""
     n_bits = len(bloom) * 8
     bc = df.sparkSession.sparkContext.broadcast(bloom)
 
