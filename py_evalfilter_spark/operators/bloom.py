@@ -180,8 +180,20 @@ def bloom_dedup_against(
     confirm: bool = True,
     seed: int = 42,
     prebuilt: tuple[bytes, int] | None = None,
+    pins=None,
 ) -> DataFrame:
     """Rows of `new` whose `key_col` does not occur in `standing`.
+
+    Regime note: if the standing KEY SET is broadcastable (a few hundred
+    MB), a plain broadcast anti-join is simpler and at least as fast —
+    this operator exists for the standing corpus that is NOT: billions of
+    keys, where the anti-join's shuffle of both sides is the cost the
+    filter removes.
+
+    `pins` (a PinScope, optional): persists the probed frame so the
+    definite-new branch and the confirm branch share ONE probe pass over
+    `new` — without it the union's two branches each scan+probe `new`
+    (fine for a thin shard, wasteful when `new` is a full crawl).
 
     confirm=True (default): EXACT — ≡ `new.join(standing, key, "left_anti")`
     with only the Bloom-positive sliver entering the join.  confirm=False:
@@ -208,6 +220,8 @@ def bloom_dedup_against(
     flagged = with_bloom_probe(
         new, key_col, bloom, n_hashes, seed, out_col="__maybe"
     )
+    if pins is not None:
+        flagged = pins.pin(flagged)
     definite = flagged.filter(~F.col("__maybe")).drop("__maybe")
     if not confirm:
         return definite

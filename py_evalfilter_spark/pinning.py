@@ -27,6 +27,25 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
+class _LocalCheckpointHandle:
+    """Adapts a localCheckpoint'ed frame to the scope's release protocol:
+    `.unpersist(blocking)` frees the checkpoint's RDD blocks (private-API
+    best-effort — on failure the ContextCleaner GC reclaims them later).
+    The frame must not be used after release: the blocks are its only
+    lineage."""
+
+    def __init__(self, df: DataFrame) -> None:
+        self._df = df
+
+    def unpersist(self, blocking: bool = False) -> None:
+        try:
+            self._df._jdf.queryExecution().analyzed().rdd().unpersist(
+                bool(blocking)
+            )
+        except Exception:
+            pass
+
+
 class PinScope:
     """Collects DataFrames persisted inside operators so the caller that
     materializes the final output can release them all."""
@@ -39,6 +58,20 @@ class PinScope:
         df.persist()
         self._frames.append(df)
         return df
+
+    def pin_local_checkpoint(self, df: DataFrame, eager: bool = True) -> DataFrame:
+        """localCheckpoint ``df`` — truncating its lineage entirely, unlike
+        ``pin`` — and register the checkpoint's backing RDD blocks for
+        release.  For boundaries whose upstream must never re-execute
+        (expensive union/join prefixes feeding long pipelines): a persist
+        keeps the lineage in every downstream plan (and re-executes it if
+        the cache is evicted under pressure), a checkpoint removes it.
+        The blocks live OUTSIDE the SQL CacheManager, so plain unpersist /
+        clearCache can't free them — the scope's release reaches the RDD
+        directly (same mechanism as operators/graph.py's loop)."""
+        out = df.localCheckpoint(eager=eager)
+        self._frames.append(_LocalCheckpointHandle(out))
+        return out
 
     @property
     def count(self) -> int:

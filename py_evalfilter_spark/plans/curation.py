@@ -182,13 +182,30 @@ def curate_corpus(
     # scan, not a corpus×shard shuffle.  FIRST of all stages: every
     # downstream filter/shuffle sees only genuinely-new rows.
     if standing is not None:
-        corpus = obs(
+        # The stage output is EAGERLY localCheckpoint'ed, not persisted:
+        # its lineage (probe UDF union + the confirm join's standing-wide
+        # SMJ) must never re-execute, and with plain persists it did —
+        # under the 13-stage pipeline's storage pressure the cached
+        # boundary evicts and the prefix recomputes multiplicatively
+        # (measured: +190 s at 1M vs +9 s for the stage alone; the
+        # checkpoint also gives the input/ingest observations their one
+        # clean completion — lazily-cached runs lost those metric rows).
+        # The probe pin is operator-internal (one probe pass for both
+        # union branches) and releases as soon as the checkpoint lands.
+        ingest_pins = PinScope()
+        staged_out = obs(
             bloom_ops.bloom_dedup_against(
                 corpus, standing.select("text"), "text",
-                fp_rate=1e-3, n_standing=standing_count,
+                fp_rate=1e-3, n_standing=standing_count, pins=ingest_pins,
             ),
             "ingest_dedup",
         )
+        corpus = (
+            pins.pin_local_checkpoint(staged_out)
+            if pins is not None
+            else staged_out.localCheckpoint(eager=True)
+        )
+        ingest_pins.release()
 
     # 0 (optional): the published structural cleanups — C4's line/page
     # rules and Gopher's doc-quality rules.  Both are MAP-ONLY, so they
@@ -416,6 +433,7 @@ def curate_corpus_staged(
                 spark.read.parquet(standing_path).select("text"),
                 "text",
                 fp_rate=1e-3,
+                pins=stage_pins,
             )
         if c4_rules:
             corpus = (

@@ -191,6 +191,15 @@ def main() -> None:
         "--source-token-budget", type=int, default=None,
         help="enable the exact per-source char-budget stage (r6)",
     )
+    ap.add_argument(
+        "--ingest-dedup", action="store_true",
+        help="enable the Bloom ingest-dedup stage 0a (r6): synthesizes an "
+        "EQUAL-SIZED standing corpus (disjoint rep range) — the input's "
+        "verbatim rows (~2%%: (doc_id+rep)%%50==0 keep the base text) "
+        "match the standing corpus's verbatim rows and must be dropped "
+        "before any other stage.  Equal-sized standing is the operator's "
+        "regime: a broadcastable standing key set would just anti-join",
+    )
     args = ap.parse_args()
 
     # Memory discipline for the 10M-doc run, learned from an OOM-killed
@@ -220,8 +229,14 @@ def main() -> None:
     t0 = time.monotonic()
     n_base = spark.read.parquet(f"{args.sf_dir}/documents.parquet").count()
     synthesize_replicated_corpus(spark, args.sf_dir, work, args.mult, 4 * args.cpus)
-    synth_sec = time.monotonic() - t0
     n_total = spark.read.parquet(f"{work}/documents.parquet").count()
+    if args.ingest_dedup and not args.staged:
+        # standing corpus synthesized OUTSIDE the timed curation section
+        synthesize_replicated_corpus(
+            spark, args.sf_dir, work, args.mult, 4 * args.cpus,
+            rep_lo=args.mult, out_name="standing.parquet",
+        )
+    synth_sec = time.monotonic() - t0
 
     # --- curation --------------------------------------------------------
     t1 = time.monotonic()
@@ -246,6 +261,9 @@ def main() -> None:
             r6_kw["line_dedup"] = True
         if args.source_token_budget is not None:
             r6_kw["source_token_budget"] = args.source_token_budget
+        if args.ingest_dedup:
+            r6_kw["standing"] = spark.read.parquet(f"{work}/standing.parquet")
+            r6_kw["standing_count"] = n_total
         obs: dict = {}
         with PinScope() as pins:
             out = curation.curate_corpus(
@@ -254,7 +272,16 @@ def main() -> None:
                 **r6_kw,
             )
             n_packed = int(out.selectExpr(*CONSUME_PACKED).collect()[0]["n"])
-            counts = {k: int(o.get["rows"]) for k, o in obs.items()}
+            counts = {}
+            for k, o in obs.items():
+                # Observation.get occasionally loses its metrics row on
+                # multi-minute runs (toPyRow assertion); a stage count is
+                # diagnostics, not the measurement — never let it kill the
+                # timed run that already completed
+                try:
+                    counts[k] = int(o.get["rows"])
+                except Exception:
+                    counts[k] = None
     curate_sec = time.monotonic() - t1
 
     py_rss_gb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
@@ -268,6 +295,7 @@ def main() -> None:
                 "gopher_min_words": args.gopher_min_words,
                 "line_dedup": args.line_dedup,
                 "source_token_budget": args.source_token_budget,
+                "ingest_dedup": args.ingest_dedup,
                 "mult": args.mult,
                 "n_base": n_base,
                 "n_docs": n_total,
