@@ -157,6 +157,10 @@ CONSUME: dict[str, list[str]] = {
         "count(*) AS n", "sum(bm25) AS a",  # postings + idf join + score agg
         "sum(doc_id) AS b",
     ],
+    "bm25_batch": [
+        "count(*) AS n", "sum(bm25) AS a",  # one postings pass, 3 queries
+        "sum(length(query_id)) AS b",
+    ],
 }
 
 BENCH_QUERIES = list(CONSUME)

@@ -174,6 +174,68 @@ def bm25_scores(
     return scored.groupBy("doc_id").agg(F.sum("part").alias("bm25"))
 
 
+def bm25_batch_scores(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    queries: dict[str, str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    postings: DataFrame | None = None,
+    doc_len: DataFrame | None = None,
+    stats: tuple[int, float] | None = None,
+) -> DataFrame:
+    """(query_id, doc_id, bm25) for a BATCH of queries in ONE pass.
+
+    The shape that matters when triaging a corpus against many probes
+    (every benchmark's question strings, a blocklist of phrases): instead
+    of one Spark job per query, the postings table is filtered once to
+    the UNION of all query terms and joined against a broadcast
+    (query_id, term) dim — per-doc-per-query scores come out of a single
+    groupBy.  Scoring math is identical to bm25_scores per query
+    (parity-tested); queries sharing a term share its postings scan."""
+    qdf_rows = [
+        (qid, t) for qid, q in queries.items() for t in tokenize_query(q)
+    ]
+    if not qdf_rows:
+        raise ValueError("queries must contain at least one tokenizable term")
+    terms_all = sorted({t for _, t in qdf_rows})
+    if postings is None or doc_len is None:
+        postings, doc_len = bm25_postings(docs, id_col, text_col)
+    if stats is None:
+        stats = bm25_stats(doc_len)
+    n_docs, avgdl = stats
+
+    spark = docs.sparkSession
+    qdf = spark.createDataFrame(qdf_rows, "query_id string, term string")
+    hits = postings.filter(F.col("term").isin(terms_all))
+    dfreq = hits.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+    )
+    scored = (
+        hits.join(dfreq, "term")
+        .join(doc_len, "doc_id")
+        .withColumn(
+            "part",
+            idf
+            * (F.col("tf") * F.lit(k1 + 1.0))
+            / (
+                F.col("tf")
+                + F.lit(k1)
+                * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(float(avgdl)))
+            ),
+        )
+    )
+    return (
+        scored.join(F.broadcast(qdf), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("part").alias("bm25"))
+    )
+
+
 def bm25_topk(
     docs: DataFrame,
     id_col: str,

@@ -428,13 +428,24 @@ def curate_corpus_staged(
             input_partitions(spark)
         )
         if standing_path is not None:
-            corpus = bloom_ops.bloom_dedup_against(
-                corpus,
-                spark.read.parquet(standing_path).select("text"),
-                "text",
-                fp_rate=1e-3,
-                pins=stage_pins,
+            # eager-checkpointed like the in-memory flow: the stage WRITE
+            # is one action, but its plan consumes this union subtree
+            # multiply (line-dedup's two scans × the union's two
+            # branches), and lazy persists don't dedupe concurrent
+            # subtree execution within the action — measured 782 s for
+            # the 13-stage 'filtered' build vs ~95 s with the lineage
+            # truncated here and scrubbed pinned below
+            ingest_pins = PinScope()
+            corpus = stage_pins.pin_local_checkpoint(
+                bloom_ops.bloom_dedup_against(
+                    corpus,
+                    spark.read.parquet(standing_path).select("text"),
+                    "text",
+                    fp_rate=1e-3,
+                    pins=ingest_pins,
+                )
             )
+            ingest_pins.release()
         if c4_rules:
             corpus = (
                 corpus_ops.c4_filter(corpus)
@@ -460,6 +471,11 @@ def curate_corpus_staged(
             )
         scrubbed = pii.scrub_pii(corpus_ops.filter_repetitive(quality))
         if line_dedup:
+            # line dedup scans its input twice (line marks + per-doc
+            # rebuild): pin the scrubbed prefix so those scans don't each
+            # re-execute the classifier/quality/ingest chain — the same
+            # twice-consumed-boundary rule the in-memory flow applies
+            scrubbed = stage_pins.pin(scrubbed)
             scrubbed = stage_pins.pin(
                 corpus_ops.dedup_lines(scrubbed).drop(
                     "n_lines_kept", "n_lines_dropped"
@@ -483,11 +499,12 @@ def curate_corpus_staged(
     )
 
     def build_deduped() -> DataFrame:
+        # pin BOTH multiply-consumed boundaries (exact_dedup, near_dedup)
+        # like the in-memory flow: the substring stage below consumes the
+        # near-dedup output twice (gram marks + rebuild join)
         out = _lexical_dedup(
             filtered, minhash_threshold,
-            pin=lambda d, name: (
-                stage_pins.pin(d) if name == "exact_dedup" else d
-            ),
+            pin=lambda d, name: stage_pins.pin(d),
             pins=stage_pins,
         )
         if semantic_threshold is not None:

@@ -3225,6 +3225,58 @@ GROUP BY p.doc_id
 """
 
 
+BM25_BATCH = {
+    "q_spark": "spark hash join vector",
+    "q_cust": "customer order line",
+    "q_sort": "merge sort",
+}
+
+
+def q_bm25_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch BM25 (operators/retrieval.bm25_batch_scores): three probe
+    queries scored in ONE pass over the postings table via a broadcast
+    (query_id, term) dim — no per-query driver loop.  Per-query math ≡
+    bm25_scores (parity pytest)."""
+    from ..operators import retrieval
+
+    docs = _read(spark, sf_dir, "documents")
+    return retrieval.bm25_batch_scores(
+        docs, "doc_id", "text", BM25_BATCH, k1=_BM25_K1, b=_BM25_B
+    ).select("query_id", "doc_id", F.round("bm25", 4).alias("bm25"))
+
+
+SQL_BM25_BATCH = f"""
+WITH {TOKENS_CTE.strip()},
+postings AS (
+  SELECT term, doc_id, COUNT(*) AS tf FROM tokens GROUP BY term, doc_id
+),
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM tokens GROUP BY doc_id),
+stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, AVG(dl) AS avgdl FROM dl),
+qmap(query_id, term) AS (VALUES
+  ('q_spark', 'spark'), ('q_spark', 'hash'), ('q_spark', 'join'),
+  ('q_spark', 'vector'),
+  ('q_cust', 'customer'), ('q_cust', 'order'), ('q_cust', 'line'),
+  ('q_sort', 'merge'), ('q_sort', 'sort')
+),
+hits AS (
+  SELECT * FROM postings WHERE term IN (SELECT DISTINCT term FROM qmap)
+),
+dfreq AS (SELECT term, COUNT(*) AS df FROM hits GROUP BY term)
+SELECT q.query_id, p.doc_id,
+       ROUND(SUM(
+         ln(1 + (s.n - f.df + 0.5) / (f.df + 0.5))
+         * (p.tf * ({_BM25_K1} + 1))
+         / (p.tf + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * d.dl / s.avgdl))
+       ), 4) AS bm25
+FROM hits p
+JOIN dfreq f USING (term)
+JOIN dl d USING (doc_id)
+JOIN qmap q USING (term)
+CROSS JOIN stats s
+GROUP BY q.query_id, p.doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3239,6 +3291,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # (perplexity_buckets..semdedup) > long-green r1-r5 core at the tail.
     "bloom_dedup": q_bloom_dedup,
     "bm25_search": q_bm25_search,
+    "bm25_batch": q_bm25_batch,
     "line_dedup": q_line_dedup,
     "dedup_best": q_dedup_best,
     "token_budget": q_token_budget,
@@ -3330,6 +3383,7 @@ ORACLES: dict[str, str] = {
     # individually oracled below).
     "bloom_dedup": SQL_BLOOM_DEDUP,
     "bm25_search": SQL_BM25_SEARCH,
+    "bm25_batch": SQL_BM25_BATCH,
     "line_dedup": SQL_LINE_DEDUP,
     "dedup_best": SQL_DEDUP_BEST,
     "token_budget": SQL_TOKEN_BUDGET,

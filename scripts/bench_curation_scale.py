@@ -230,7 +230,7 @@ def main() -> None:
     n_base = spark.read.parquet(f"{args.sf_dir}/documents.parquet").count()
     synthesize_replicated_corpus(spark, args.sf_dir, work, args.mult, 4 * args.cpus)
     n_total = spark.read.parquet(f"{work}/documents.parquet").count()
-    if args.ingest_dedup and not args.staged:
+    if args.ingest_dedup:
         # standing corpus synthesized OUTSIDE the timed curation section
         synthesize_replicated_corpus(
             spark, args.sf_dir, work, args.mult, 4 * args.cpus,
@@ -244,13 +244,30 @@ def main() -> None:
         # every staged boundary is fully WRITTEN to parquet inside
         # run_stage, so nothing is prunable; the final re-read count is a
         # trivial footer scan
+        staged_kw = {}
+        if args.gopher_min_words is not None:
+            staged_kw.update(
+                gopher_min_words=args.gopher_min_words,
+                gopher_stopwords=("the", "a", "table", "value", "row", "scan"),
+            )
+        if args.line_dedup:
+            staged_kw["line_dedup"] = True
+        if args.source_token_budget is not None:
+            staged_kw["source_token_budget"] = args.source_token_budget
+        if args.ingest_dedup:
+            staged_kw["standing_path"] = f"{work}/standing.parquet"
         packed, manifests = curation.curate_corpus_staged(
             spark, work, f"{work}/stages", budget=256,
             classifier_min=args.classifier_min, substring_n=args.substring_n,
+            **staged_kw,
         )
         n_packed = packed.count()
         counts = {name: m.get("rows") for name, m in manifests.items()}
+        stage_walls = {
+            name: m.get("wall_ms") for name, m in manifests.items()
+        }
     else:
+        stage_walls = None
         r6_kw = {}
         if args.gopher_min_words is not None:
             r6_kw.update(
@@ -304,6 +321,7 @@ def main() -> None:
                 "docs_per_sec": round(n_total / curate_sec, 1),
                 "n_packed_rows": n_packed,
                 "stage_counts": counts,
+                "stage_wall_ms": stage_walls,
                 "jvm_peak_rss_gb": jvm_peak_rss_gb(),
                 "python_peak_rss_gb": round(py_rss_gb, 2),
                 "cpus": args.cpus,

@@ -249,6 +249,32 @@ class TestBM25:
             spark.sql(f"DROP TABLE IF EXISTS {prefix}_postings")
             spark.sql(f"DROP TABLE IF EXISTS {prefix}_doclen")
 
+    def test_batch_scores_equal_per_query(self, spark, docs):
+        """bm25_batch_scores over N queries ≡ N independent bm25_scores
+        runs — same doc sets, same values (shared postings scan is a
+        plan-shape change only)."""
+        sdf, _ = docs
+        queries = {"qa": "spark data", "qb": "arrow", "qc": "fox executors"}
+        batch = retrieval.bm25_batch_scores(
+            sdf, "doc_id", "text", queries
+        ).collect()
+        got = {}
+        for r in batch:
+            got.setdefault(r["query_id"], {})[r["doc_id"]] = r["bm25"]
+        for qid, q in queries.items():
+            want = {
+                r["doc_id"]: r["bm25"]
+                for r in retrieval.bm25_scores(sdf, "doc_id", "text", q).collect()
+            }
+            assert set(got.get(qid, {})) == set(want), qid
+            for d, s in want.items():
+                assert got[qid][d] == pytest.approx(s, rel=1e-9), (qid, d)
+
+    def test_batch_rejects_empty(self, spark, docs):
+        sdf, _ = docs
+        with pytest.raises(ValueError, match="at least one"):
+            retrieval.bm25_batch_scores(sdf, "doc_id", "text", {"q": "!!!"})
+
     def test_persisted_index_identical(self, spark, docs):
         sdf, _ = docs
         postings, dl = retrieval.bm25_postings(sdf, "doc_id", "text")
