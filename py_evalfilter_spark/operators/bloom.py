@@ -129,16 +129,19 @@ def build_bloom(
                 [pa.array([bits.tobytes()], pa.binary())], ["bitmap"]
             )
 
-    bitmaps = hashes.mapInArrow(fold, "bitmap binary").rdd.map(
-        lambda r: r["bitmap"]
-    )
-    if bitmaps.isEmpty():
-        return bytes(n_bytes)
-    return bitmaps.treeReduce(
-        lambda a, b: (
-            np.frombuffer(a, np.uint8) | np.frombuffer(b, np.uint8)
-        ).tobytes(),
-        depth=2,
+    def _or(a: bytes, b) -> bytes:
+        if isinstance(b, (bytes, bytearray)):
+            other = b
+        else:  # seqOp side: a Row carrying one partition bitmap
+            other = b["bitmap"]
+        return (
+            np.frombuffer(a, np.uint8) | np.frombuffer(other, np.uint8)
+        ).tobytes()
+
+    # ONE action: treeAggregate's zero value covers the empty-RDD case, so
+    # there is no separate isEmpty() pass re-running partition 0's fold
+    return hashes.mapInArrow(fold, "bitmap binary").rdd.treeAggregate(
+        bytes(n_bytes), _or, _or, depth=2
     )
 
 

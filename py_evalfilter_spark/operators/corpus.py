@@ -580,7 +580,10 @@ def gopher_quality(
     """The Gopher document-quality rules (Rae et al. 2021, appendix A1.1)
     that are NOT the repetition family (see repetition_stats for those):
     word count in [min_words, max_words]; mean word length in [3, 10];
-    symbol-to-word ratio (# and … ) ≤ 0.1; ≥ 80% of words contain an
+    symbol-to-word ratio ≤ 0.1, where a symbol hit is one '#' or one
+    ellipsis in EITHER form — U+2026 or ASCII '...' (the paper counts
+    ellipses, not codepoints; a run of dots yields ⌊run/3⌋ hits, greedy
+    non-overlapping); ≥ 80% of words contain an
     alphabetic character; and at least `min_stopword_hits` distinct hits
     from the stop-word probe (default = the paper's canonical English
     eight; pass a language/domain-appropriate set otherwise).  Map-only —
@@ -603,10 +606,8 @@ def gopher_quality(
             "symbol_ratio",
             F.when(
                 F.col("n_words") > 0,
-                (
-                    F.length(F.col(text_col))
-                    - F.length(F.regexp_replace(text_col, r"[#…]", ""))
-                ) / F.col("n_words"),
+                F.regexp_count(F.col(text_col), F.lit(r"#|…|\.{3}"))
+                / F.col("n_words"),
             ).otherwise(F.lit(0.0)),
         )
         .withColumn(
@@ -995,11 +996,19 @@ def remove_duplicate_spans(
     )
 
 
+def _line_norm(line):
+    """CCNet's per-line normalization: lowercase, strip everything but
+    letters (digits + punctuation removed).  Empty result ⇒ the line is
+    structural (blank/punctuation-only) and exempt from dedup."""
+    return F.regexp_replace(F.lower(line), r"[^\p{L}]+", "")
+
+
 def _line_key(line):
-    """CCNet's per-line normalization for the dedup hash: lowercase, strip
-    everything but letters (digits + punctuation removed), md5.  Only the
-    HASH sees the normalization — surviving lines keep their raw text."""
-    return F.md5(F.regexp_replace(F.lower(line), r"[^\p{L}]+", ""))
+    """The dedup hash over the normalized line.  Only the HASH sees the
+    normalization — surviving lines keep their raw text.  Single source of
+    truth: dedup_lines's key build and its rebuild exemption test both go
+    through _line_norm/_line_key, so the two can't drift."""
+    return F.md5(_line_norm(line))
 
 
 def dedup_lines(
@@ -1036,21 +1045,23 @@ def dedup_lines(
     would put every occurrence of the hottest line in ONE task); (2) the
     survivor (id, idx) pairs reduce to one keep-index array per document.
     The rebuild then joins the UNEXPLODED corpus against that per-doc
-    index array and filters lines MAP-SIDE with a positional higher-order
-    filter — document text is shuffled only by the final doc-id join, not
-    through the hash-keyed exchange (a first version shuffled full text
-    twice and measured 0.70 N→4N efficiency at 1M pages; this shape
-    restored it, BENCH/BASELINE.md round 6).  Per-doc cost of the
-    positional filter is O(lines·kept) — bounded by document length, the
-    standard per-doc contract."""
-    norm = F.regexp_replace(F.lower(F.col("line")), r"[^\p{L}]+", "")
+    index array and rebuilds lines MAP-SIDE — document text is shuffled
+    only by the final doc-id join, not through the hash-keyed exchange (a
+    first version shuffled full text twice and measured 0.70 N→4N
+    efficiency at 1M pages; this shape restored it, BENCH/BASELINE.md
+    round 6).  Per-doc rebuild cost is O(lines + kept·log kept): exempt
+    positions come from ONE indexed transform pass, survivor positions
+    from the (sorted) keep-index array, and the kept lines are O(1)
+    element_at picks over the named line array — never an
+    array_contains membership scan per line, which is O(lines·kept) and
+    turns a 10^5-line mega-doc into a quadratic single task."""
     keys = (
         df.select(
             F.col(id_col),
             F.posexplode(F.split(text_col, sep)).alias("idx", "line"),
         )
-        .filter(norm != "")
-        .select(F.col(id_col), F.col("idx"), F.md5(norm).alias("_key"))
+        .filter(_line_norm(F.col("line")) != "")
+        .select(F.col(id_col), F.col("idx"), _line_key(F.col("line")).alias("_key"))
     )
     firsts = keys.groupBy("_key").agg(
         F.min(F.struct(F.col(id_col), F.col("idx"))).alias("_first")
@@ -1062,23 +1073,36 @@ def dedup_lines(
         .agg(F.collect_list("idx").alias("_keep_idx"))
     )
 
-    def _keep(x, i):
+    def _exempt_pos(x, i):
         # two-parameter HOF lambda = (element, index) — here that trap IS
-        # the tool: exempt (blank/punct) lines always survive; hashed
-        # lines survive iff their position won the first-occurrence race.
-        # NULL _keep_idx (doc kept nothing) → false for non-exempt lines.
-        return (
-            F.regexp_replace(F.lower(x), r"[^\p{L}]+", "") == ""
-        ) | F.array_contains(F.col("_keep_idx"), i)
+        # the tool: blank/punct-only lines carry document structure and
+        # always survive, independent of the first-occurrence race.
+        return F.when(_line_norm(x) == "", i)
 
+    # kept positions = exempt ∪ survivors, in original line order; the
+    # lines themselves are O(1) positional picks from the named array
+    # (HOF lambdas get no subexpression elimination — `_arr`/`_pos` are
+    # projected to named columns first, per the O(words²) trap note)
+    pos = F.array_sort(
+        F.array_union(
+            F.filter(
+                F.transform("_arr", _exempt_pos), lambda v: v.isNotNull()
+            ),
+            F.coalesce("_keep_idx", F.array().cast("array<int>")),
+        )
+    )
     return (
         df.join(keep_sets, id_col, "left")
         .withColumn("_arr", F.split(text_col, sep))
-        .withColumn("_kept", F.filter("_arr", _keep))
+        .withColumn("_pos", pos)
+        .withColumn(
+            "_kept",
+            F.transform("_pos", lambda i: F.element_at("_arr", i + 1)),
+        )
         .withColumn("n_lines_kept", F.size("_kept"))
         .withColumn(
             "n_lines_dropped", F.size("_arr") - F.col("n_lines_kept")
         )
         .withColumn(text_col, F.array_join("_kept", sep))
-        .drop("_keep_idx", "_arr", "_kept")
+        .drop("_keep_idx", "_arr", "_pos", "_kept")
     )

@@ -226,14 +226,22 @@ def dedup_keep_best(
     score lookup joins component nodes against the corpus projection
     (id, score) — never the reverse; the survivor reduction is one
     groupBy(comp) min over a (−score, id) struct with map-side combine;
-    the corpus pays only the final anti-join against the drop set."""
+    the corpus pays only the final anti-join against the drop set.
+
+    A NULL `score_col` ranks BELOW every scored member (struct-min sorts
+    NULL first, so an unscored document would otherwise beat every scored
+    one — the coalesce to +inf inverts that); an all-NULL component falls
+    back to lowest-id, same as dedup_keep_canonical."""
     comp = connected_components(pairs, src=src, dst=dst)
     scored = comp.join(
         df.select(F.col(id_col).alias("node"), F.col(score_col).alias("_s")),
         "node",
     )
+    neg = F.coalesce(
+        (-F.col("_s")).cast("double"), F.lit(float("inf"))
+    )
     best = scored.groupBy("comp").agg(
-        F.min(F.struct((-F.col("_s")).alias("_neg"), F.col("node"))).alias("_b")
+        F.min(F.struct(neg.alias("_neg"), F.col("node"))).alias("_b")
     ).select("comp", F.col("_b.node").alias("_keep"))
     drop = (
         comp.join(best, "comp")

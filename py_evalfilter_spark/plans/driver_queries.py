@@ -1572,7 +1572,7 @@ m AS (
            CAST(list_sum(list_transform(words, x -> length(x))) AS DOUBLE)
              / len(words) ELSE 0.0 END AS mean_word_len,
          CASE WHEN len(words) > 0 THEN
-           CAST(length(text) - length(regexp_replace(text, '[#…]', '', 'g'))
+           CAST(len(regexp_extract_all(text, '#|…|\.{3}'))
                 AS DOUBLE) / len(words) ELSE 0.0 END AS symbol_ratio,
          CASE WHEN len(words) > 0 THEN
            CAST(len(list_filter(words, x -> regexp_matches(x, '\\p{L}')))

@@ -116,6 +116,24 @@ class TestDedupKeepBest:
         # (NOT min-id 1, whose score is 0.2); {6,7}: tie -> 6; singleton 0
         assert kept == [0, 2, 6]
 
+    def test_null_score_loses_to_any_scored_member(self, spark):
+        """A NULL score must never win the survivor race (struct-min sorts
+        NULL first, so without the +inf coalesce an unscored doc beats
+        every scored one); an all-NULL component falls back to lowest id."""
+        docs = spark.createDataFrame(
+            [(1, None), (2, 0.1), (3, 0.9), (6, None), (7, None)],
+            "doc_id long, quality double",
+        )
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (6, 7)], "id_a long, id_b long"
+        )
+        kept = sorted(
+            r["doc_id"]
+            for r in graph.dedup_keep_best(docs, pairs, "quality").collect()
+        )
+        # {1,2,3}: NULL-scored 1 loses, 3 (0.9) wins; {6,7} all-NULL -> 6
+        assert kept == [3, 6]
+
     def test_differs_from_min_id_canonical(self, spark):
         docs = spark.createDataFrame(
             [(1, 0.1), (2, 0.9)], "doc_id long, quality double"
