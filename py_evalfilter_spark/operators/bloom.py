@@ -23,11 +23,18 @@ joins) — approximate, never emits a true duplicate.
 
 Scale notes:
   * the filter is built with per-partition numpy bitmaps OR-merged by an
-    executor-side treeReduce (the driver receives ONE m/8-byte bitmap);
+    executor-side treeAggregate (the driver receives ONE m/8-byte bitmap);
     size m for single-process memory: 1e9 keys at ε=1e-3 → m≈1.44e10
-    bits ≈ 1.8 GB.  Beyond a few billion standing keys, shard the filter
-    by key range (build one per pmod(xxhash64(key), S) slice and probe
-    each shard's rows against its slice) — same code, driven S times.
+    bits ≈ 1.8 GB.  Beyond a few billion standing keys the single bitmap
+    hits four ceilings at once — the per-task numpy bitmap during the
+    build fold, the treeAggregate blob, the probe broadcast, and the
+    JVM's 2 GB byte-array limit — so `bloom_dedup_against(...,
+    n_slices=S)` shards the filter: keys are sliced by an independent
+    hash, S per-slice bitmaps (m/S bits each, same ε) are built in ONE
+    standing pass (`build_bloom_sliced`), streamed to the driver one
+    slice at a time, and probed through per-slice FILES (sc.addFile +
+    np.memmap), so no single process ever materializes more than one
+    slice in RAM — residency is OS page cache, evictable.
   * two xxhash64 hashes per key stay JVM-side; the k probe positions
     derive in numpy via Kirsch-Mitzenmacher double hashing, so Arrow
     moves 16 bytes/row regardless of k; Python touches only the bitmap —
@@ -42,6 +49,9 @@ Scale notes:
 from __future__ import annotations
 
 import math
+import os
+import tempfile
+import uuid
 from collections.abc import Iterator
 
 import numpy as np
@@ -174,6 +184,195 @@ def with_bloom_probe(
     return df.withColumn(out_col, probe(*_hash_cols(key_col, seed)))
 
 
+# ---------------------------------------------------------------------------
+# Sliced (beyond-RAM) mode
+# ---------------------------------------------------------------------------
+
+
+def _slice_col(key_col: str, n_slices: int, seed: int):
+    """Slice assignment hash — INDEPENDENT of the probe hashes (seed+2):
+    deriving the slice from h1 (e.g. pmod(h1, S)) would condition probe
+    position 0 (= h1 mod m_s) on the slice residue and concentrate it on
+    1/S of each slice's bits, inflating the FP rate."""
+    return F.pmod(
+        F.xxhash64(F.lit(seed + 2), F.col(key_col)), F.lit(n_slices)
+    ).cast("int")
+
+
+class SlicedBloom:
+    """Handle to a sliced Bloom filter: one bitmap FILE per key slice,
+    registered with sc.addFile so executors fetch them to local disk and
+    probe via np.memmap — per-process RAM is page cache, not S bitmaps.
+    `paths[s]` is slice s's local path on the driver; `file_names[s]` the
+    SparkFiles basename executors resolve."""
+
+    def __init__(
+        self,
+        paths: list[str],
+        n_bits_per_slice: int,
+        n_hashes: int,
+        seed: int,
+    ) -> None:
+        self.paths = paths
+        self.file_names = [os.path.basename(p) for p in paths]
+        self.n_bits_per_slice = n_bits_per_slice
+        self.n_hashes = n_hashes
+        self.n_slices = len(paths)
+        self.seed = seed
+
+
+def sliced_bloom_params(
+    n_keys: int, fp_rate: float, max_slice_bytes: int | None = None,
+    n_slices: int | None = None,
+) -> tuple[int, int, int]:
+    """(n_bits_per_slice, n_hashes, n_slices).  Total bits follow the
+    classic sizing; keys split uniformly over slices (independent hash),
+    so m/S bits over n/S keys preserves ε per slice.  Pass `n_slices`
+    directly, or `max_slice_bytes` to derive the minimum S whose slice
+    bitmap fits the budget (the real driver: JVM byte arrays and numpy
+    fold buffers cap near 2 GB)."""
+    m_total, k = bloom_params(n_keys, fp_rate)
+    if n_slices is None:
+        if max_slice_bytes is None:
+            raise ValueError("pass n_slices or max_slice_bytes")
+        n_slices = max(1, math.ceil(m_total / (8 * max_slice_bytes)))
+    m_slice = ((math.ceil(m_total / n_slices) + 7) // 8) * 8
+    return m_slice, k, n_slices
+
+
+def build_bloom_sliced(
+    df: DataFrame,
+    key_col: str,
+    n_bits_per_slice: int,
+    n_hashes: int,
+    n_slices: int,
+    seed: int = 42,
+    out_dir: str | None = None,
+) -> SlicedBloom:
+    """ONE pass over the standing keys → n_slices per-slice bitmap files.
+
+    Shape: (slice, h1, h2) is 20 bytes/row JVM-side; a repartition BY
+    SLICE bounds each fold task's numpy allocation at ~one slice bitmap
+    (hash collisions can co-locate a couple of slices in one task —
+    expected occupancy 1, never all S, which is what an unpartitioned
+    fold would allocate).  Per-slice merge is a reduceByKey (executor-
+    side OR of the few same-slice partials); the driver then STREAMS the
+    merged slices via toLocalIterator — peak driver memory is ONE slice
+    bitmap, written straight to its file.  Slices with no keys get a
+    zero-filled file (probe ⇒ definitely-new, correct).  Files register
+    with sc.addFile, which serves them to executors on first use — the
+    same mechanism works on a real cluster (driver file server), not
+    just shared-disk local mode."""
+    n_bytes = (n_bits_per_slice + 7) // 8
+    spark = df.sparkSession
+    sc = spark.sparkContext
+    hashes = df.select(
+        _slice_col(key_col, n_slices, seed).alias("slice"),
+        *_hash_cols(key_col, seed),
+    ).repartition(n_slices, "slice")
+
+    def fold(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        bits: dict[int, np.ndarray] = {}
+        for batch in batches:
+            sl = batch.column(0).to_numpy(zero_copy_only=False)
+            h1 = batch.column(1).to_numpy(zero_copy_only=False)
+            h2 = batch.column(2).to_numpy(zero_copy_only=False)
+            for s in np.unique(sl):
+                mask = sl == s
+                bmp = bits.setdefault(int(s), np.zeros(n_bytes, np.uint8))
+                for p in _positions(
+                    h1[mask], h2[mask], n_bits_per_slice, n_hashes
+                ):
+                    np.bitwise_or.at(
+                        bmp, p >> 3, (1 << (p & 7)).astype(np.uint8)
+                    )
+        for s, bmp in bits.items():
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array([s], pa.int32()),
+                    pa.array([bmp.tobytes()], pa.binary()),
+                ],
+                ["slice", "bitmap"],
+            )
+
+    merged = (
+        hashes.mapInArrow(fold, "slice int, bitmap binary")
+        .rdd.map(lambda r: (r["slice"], r["bitmap"]))
+        .reduceByKey(
+            lambda a, b: (
+                np.frombuffer(a, np.uint8) | np.frombuffer(b, np.uint8)
+            ).tobytes(),
+            numPartitions=n_slices,
+        )
+    )
+    out_dir = out_dir or tempfile.mkdtemp(prefix="bloom_slices_")
+    os.makedirs(out_dir, exist_ok=True)
+    token = uuid.uuid4().hex[:8]
+    paths = [
+        os.path.join(out_dir, f"bloomslice_{token}_{s}.bin")
+        for s in range(n_slices)
+    ]
+    written = set()
+    for s, bmp in merged.toLocalIterator():  # ONE slice in driver RAM
+        with open(paths[s], "wb") as fp:
+            fp.write(bmp)
+        written.add(s)
+    zero = bytes(n_bytes)
+    for s in range(n_slices):
+        if s not in written:
+            with open(paths[s], "wb") as fp:
+                fp.write(zero)
+    for p in paths:
+        sc.addFile(p)
+    return SlicedBloom(paths, n_bits_per_slice, n_hashes, seed)
+
+
+def with_sliced_bloom_probe(
+    df: DataFrame,
+    key_col: str,
+    store: SlicedBloom,
+    out_col: str = "maybe_member",
+) -> DataFrame:
+    """Sliced counterpart of with_bloom_probe — still ONE pass over `df`:
+    each Arrow batch groups its rows by slice and probes that slice's
+    np.memmap'd bitmap file (SparkFiles fetch, falling back to the build
+    path when driver and worker share a filesystem).  A worker that sees
+    every slice over its lifetime holds file PAGES, not S resident
+    bitmaps — the OS evicts under pressure."""
+    n_bits = store.n_bits_per_slice
+    n_hashes = store.n_hashes
+    names = store.file_names
+    paths = store.paths
+
+    @F.pandas_udf("boolean")
+    def probe(sls: pd.Series, h1s: pd.Series, h2s: pd.Series) -> pd.Series:
+        from pyspark import SparkFiles
+
+        sl = sls.to_numpy(dtype=np.int64)
+        h1 = h1s.to_numpy(dtype=np.int64)
+        h2 = h2s.to_numpy(dtype=np.int64)
+        ok = np.ones(len(sl), bool)
+        for s in np.unique(sl):
+            local = SparkFiles.get(names[s])
+            if not os.path.exists(local):
+                local = paths[s]
+            bits = np.memmap(local, np.uint8, mode="r")
+            mask = sl == s
+            sub = np.ones(int(mask.sum()), bool)
+            for p in _positions(h1[mask], h2[mask], n_bits, n_hashes):
+                sub &= ((bits[p >> 3] >> (p & 7)) & 1).astype(bool)
+            ok[mask] = sub
+        return pd.Series(ok)
+
+    return df.withColumn(
+        out_col,
+        probe(
+            _slice_col(key_col, store.n_slices, store.seed),
+            *_hash_cols(key_col, store.seed),
+        ),
+    )
+
+
 def bloom_dedup_against(
     new: DataFrame,
     standing: DataFrame,
@@ -184,6 +383,9 @@ def bloom_dedup_against(
     seed: int = 42,
     prebuilt: tuple[bytes, int] | None = None,
     pins=None,
+    n_slices: int | None = None,
+    max_slice_bytes: int | None = None,
+    prebuilt_sliced: SlicedBloom | None = None,
 ) -> DataFrame:
     """Rows of `new` whose `key_col` does not occur in `standing`.
 
@@ -213,16 +415,46 @@ def bloom_dedup_against(
     filter once at backfill (and OR-merge each shard's own bitmap into it
     after ingest — Bloom filters union by bitwise OR), then every shard
     pays only the map-side probe + the sliver confirm, never the standing
-    build scan."""
-    if prebuilt is not None:
-        bloom, n_hashes = prebuilt
-    else:
-        n = n_standing if n_standing is not None else standing.count()
-        n_bits, n_hashes = bloom_params(n, fp_rate)
-        bloom = build_bloom(standing, key_col, n_bits, n_hashes, seed)
-    flagged = with_bloom_probe(
-        new, key_col, bloom, n_hashes, seed, out_col="__maybe"
+    build scan.
+
+    `n_slices` / `max_slice_bytes` / `prebuilt_sliced` select the SLICED
+    regime for key sets whose single bitmap would exceed process memory
+    (see module docstring): per-slice bitmap FILES instead of one
+    broadcast, same exactness guarantees (slice hash is independent of
+    the probe hashes, so the per-slice FP bound is the classic one).
+    Semantics are identical to the single-bitmap path — parity is pinned
+    by tests/test_bloom_retrieval.py."""
+    sliced = (
+        n_slices is not None
+        or max_slice_bytes is not None
+        or prebuilt_sliced is not None
     )
+    if sliced:
+        if prebuilt is not None:
+            raise ValueError("prebuilt is the single-bitmap regime; pass "
+                             "prebuilt_sliced for the sliced one")
+        if prebuilt_sliced is not None:
+            store = prebuilt_sliced
+        else:
+            n = n_standing if n_standing is not None else standing.count()
+            m_slice, k, s = sliced_bloom_params(
+                n, fp_rate, max_slice_bytes=max_slice_bytes,
+                n_slices=n_slices,
+            )
+            store = build_bloom_sliced(standing, key_col, m_slice, k, s, seed)
+        flagged = with_sliced_bloom_probe(
+            new, key_col, store, out_col="__maybe"
+        )
+    else:
+        if prebuilt is not None:
+            bloom, n_hashes = prebuilt
+        else:
+            n = n_standing if n_standing is not None else standing.count()
+            n_bits, n_hashes = bloom_params(n, fp_rate)
+            bloom = build_bloom(standing, key_col, n_bits, n_hashes, seed)
+        flagged = with_bloom_probe(
+            new, key_col, bloom, n_hashes, seed, out_col="__maybe"
+        )
     if pins is not None:
         flagged = pins.pin(flagged)
     definite = flagged.filter(~F.col("__maybe")).drop("__maybe")

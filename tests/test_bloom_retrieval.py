@@ -121,6 +121,121 @@ class TestBloomFilter:
         assert probed.maybe_member.all()
 
 
+class TestSlicedBloom:
+    """Sliced (beyond-RAM) regime: per-slice bitmap FILES instead of one
+    broadcast blob.  Same exactness contracts as the single-bitmap path —
+    the slice hash is independent of the probe hashes, so each slice is a
+    classic Bloom filter over its own key subset."""
+
+    @pytest.fixture(scope="class")
+    def corpus(self, spark):
+        return spark.createDataFrame(
+            pd.DataFrame({"k": [f"key_{i:05d}" for i in range(500)]})
+        )
+
+    def test_params_derive_slices_from_budget(self):
+        m_total, k_total = bloom.bloom_params(1_000_000, 1e-3)
+        m_s, k, s = bloom.sliced_bloom_params(
+            1_000_000, 1e-3, max_slice_bytes=250_000
+        )
+        assert k == k_total
+        assert s == math.ceil(m_total / (8 * 250_000))
+        assert m_s * s >= m_total and m_s % 8 == 0
+        # explicit slice count wins
+        m_s4, _, s4 = bloom.sliced_bloom_params(1_000_000, 1e-3, n_slices=4)
+        assert s4 == 4 and m_s4 >= m_total // 4
+        with pytest.raises(ValueError):
+            bloom.sliced_bloom_params(1_000_000, 1e-3)
+
+    def test_no_false_negatives_across_slices(self, spark, corpus, tmp_path):
+        """Every inserted key probes positive through its slice's memmap'd
+        file — including keys in slices that landed zero-filled."""
+        m_s, k, s = bloom.sliced_bloom_params(500, 1e-3, n_slices=5)
+        store = bloom.build_bloom_sliced(
+            corpus, "k", m_s, k, s, out_dir=str(tmp_path)
+        )
+        assert store.n_slices == 5 and len(store.paths) == 5
+        probed = bloom.with_sliced_bloom_probe(corpus, "k", store).toPandas()
+        assert probed.maybe_member.all()
+
+    def test_empty_slices_get_zero_files(self, spark, tmp_path):
+        """2 keys over 8 slices: ≥6 slices hold no key, get a zero-filled
+        file, and disjoint keys routed there probe definitely-new."""
+        tiny = spark.createDataFrame(pd.DataFrame({"k": ["a", "b"]}))
+        m_s, k, s = bloom.sliced_bloom_params(2, 1e-2, n_slices=8)
+        store = bloom.build_bloom_sliced(
+            tiny, "k", m_s, k, s, out_dir=str(tmp_path)
+        )
+        import os as _os
+
+        sizes = {p: _os.path.getsize(p) for p in store.paths}
+        assert all(v == (m_s + 7) // 8 for v in sizes.values())
+        others = spark.createDataFrame(
+            pd.DataFrame({"k": [f"zz_{i}" for i in range(200)]})
+        )
+        flagged = bloom.with_sliced_bloom_probe(others, "k", store)
+        got = flagged.withColumn(
+            "slice", bloom._slice_col("k", s, 42)
+        ).toPandas()
+        occupied = {
+            r["slice"]
+            for r in tiny.select(
+                bloom._slice_col("k", s, 42).alias("slice")
+            ).collect()
+        }
+        # a key routed to an empty (zero-filled) slice is DEFINITELY new
+        empty_rows = got[~got.slice.isin(occupied)]
+        assert len(empty_rows) > 50 and not empty_rows.maybe_member.any()
+
+    def test_sliced_matches_single_bitmap_fp_bound(self, spark, corpus):
+        """FP calibration survives slicing: measured rate on 5000 disjoint
+        keys within small-sample slack of the theoretical single-filter
+        bound (the property the independent slice hash is FOR)."""
+        m_s, k, s = bloom.sliced_bloom_params(500, 1e-2, n_slices=4)
+        store = bloom.build_bloom_sliced(corpus, "k", m_s, k, s)
+        others = spark.createDataFrame(
+            pd.DataFrame({"k": [f"other_{i:05d}" for i in range(5000)]})
+        )
+        got = bloom.with_sliced_bloom_probe(others, "k", store).toPandas()
+        theory = bloom.theoretical_fp_rate(m_s * s, k, 500)
+        assert got.maybe_member.mean() <= max(4 * theory, 0.05)
+
+    def test_sliced_dedup_equals_anti_join(self, spark):
+        """bloom_dedup_against(n_slices=S) ≡ left_anti join, including
+        under forced false positives, and the prebuilt_sliced reuse path
+        (the amortized daily loop) is identical."""
+        old = spark.createDataFrame(
+            pd.DataFrame({"k": [f"doc {i} text" for i in range(200)]})
+        )
+        new = spark.createDataFrame(
+            pd.DataFrame({
+                "id": range(300),
+                "k": [f"doc {i} text" if i % 3 == 0 else f"fresh {i} text"
+                      for i in range(300)],
+            })
+        )
+        want = {
+            r["id"]
+            for r in new.join(old, "k", "left_anti").select("id").collect()
+        }
+        for fp in (1e-3, 0.5):  # 0.5 -> tiny slices, rampant FPs
+            got = bloom.bloom_dedup_against(
+                new, old, "k", fp_rate=fp, confirm=True, n_slices=3
+            )
+            assert {r["id"] for r in got.select("id").collect()} == want, fp
+        m_s, k, s = bloom.sliced_bloom_params(200, 1e-3, n_slices=3)
+        store = bloom.build_bloom_sliced(old, "k", m_s, k, s)
+        got_pre = bloom.bloom_dedup_against(
+            new, old, "k", prebuilt_sliced=store
+        )
+        assert {r["id"] for r in got_pre.select("id").collect()} == want
+        assert want and len(want) < 300
+        with pytest.raises(ValueError):
+            bloom.bloom_dedup_against(
+                new, old, "k", prebuilt=(b"\x00", 1), n_slices=2
+            )
+
+
 def _brute_bm25(pdf, query, k1=1.2, b=0.75):
     toks = {
         r.doc_id: [t for t in re.split("[^a-z0-9]+", r.text.lower()) if t]
