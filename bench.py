@@ -229,6 +229,49 @@ def main() -> None:
 
         timings[name] = round(best_of(run), 3)
 
+    # --- amortized incremental near-dup (the daily-shard regime) ---
+    # The catalog's `dedup_incremental` row is the COLD, self-contained
+    # mode: it re-signatures the standing corpus every run, which is the
+    # one-time store-build cost, not what a pipeline pays per shard.  The
+    # regime that matters (and the one scale runs report) keeps the
+    # standing signatures in a persisted store built once ever; this row
+    # times ONLY the per-shard work (shard signatures + asymmetric banded
+    # join + exact verify) against that store, so regressions in the
+    # store path are visible round-over-round.
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from py_evalfilter_spark.operators import dedup as _dedup
+
+    docs = dq._read(spark, SF_DIR, "documents").select("doc_id", "text")
+    sig_dir = tempfile.mkdtemp(prefix="bench_inc_sigs_")
+    _dedup.minhash_signatures(
+        docs, "doc_id", "text", n=3, num_perm=64
+    ).write.mode("overwrite").parquet(sig_dir)  # untimed one-time build
+    old_sigs = spark.read.parquet(sig_dir)
+    base = docs.filter(F.col("doc_id") % 37 == 0)
+    shard = base.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" x")).alias("text"),
+    ).unionByName(
+        base.select(
+            (F.col("doc_id") + 2_000_000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" y")).alias("text"),
+        )
+    )
+
+    def run_amortized():
+        spark.catalog.clearCache()
+        _dedup.minhash_lsh_pairs_incremental(
+            shard, docs, "doc_id", "text",
+            n=3, num_perm=64, bands=16, threshold=0.8, old_sigs=old_sigs,
+        ).selectExpr(*CONSUME["dedup_incremental"]).collect()
+
+    timings["dedup_incremental_amortized"] = round(best_of(run_amortized), 3)
+    shutil.rmtree(sig_dir, ignore_errors=True)
+
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     result = {

@@ -75,7 +75,7 @@ def write_bm25_index(
     """Persist the index as catalog tables:
 
       {prefix}_postings  bucketed + sorted by term
-      {prefix}_doclen    plain
+      {prefix}_doclen    bucketed + sorted by doc_id
 
     Term-bucketing is the query-latency lever: `isin(query_terms)` is a
     literal IN on the bucket column, which FileSourceScan prunes to the
@@ -84,8 +84,17 @@ def write_bm25_index(
     table scans ≤ 4/64 of the corpus postings regardless of corpus size.
     Size n_buckets so one bucket ≈ one task's worth of postings at target
     scale; more buckets = sharper pruning (a probe term costs ~1/N of
-    the table).  doc_len stays plain: it joins the term-filtered hits on
-    doc_id, a distribution term-bucketing cannot serve."""
+    the table).
+
+    doc_id-bucketing doc_len is the HEAVY-term lever: scoring joins the
+    term-filtered hits to doc_len on doc_id.  For rare terms AQE
+    broadcasts the hits side and the join is cheap either way; for
+    stop-word-ish terms hits ≈ corpus and an unbucketed doc_len makes
+    BOTH corpus-sized sides shuffle — the query's dominant cost at 10^10
+    docs.  Bucketed, the doc_len side satisfies the join distribution
+    straight off its scan (ZERO store-side Exchange, pinned by
+    tests/test_plans.py::TestBm25DoclenPlan) and only the hits side
+    moves."""
     from ..sources.tables import write_bucketed
 
     write_bucketed(
@@ -97,10 +106,15 @@ def write_bm25_index(
         path=(f"{path}/postings" if path else None),
         mode=mode,
     )
-    w = doc_len.write.mode(mode).format("parquet")
-    if path:
-        w = w.option("path", f"{path}/doclen")
-    w.saveAsTable(f"{table_prefix}_doclen")
+    write_bucketed(
+        doc_len,
+        f"{table_prefix}_doclen",
+        ["doc_id"],
+        n_buckets,
+        sort_cols=["doc_id"],
+        path=(f"{path}/doclen" if path else None),
+        mode=mode,
+    )
 
 
 def read_bm25_index(spark, table_prefix: str) -> tuple[DataFrame, DataFrame]:

@@ -354,6 +354,53 @@ class TestNeardupStorePlan:
             spark.sql(f"DROP TABLE IF EXISTS {prefix}_banded")
 
 
+class TestBm25DoclenPlan:
+    def test_doclen_side_never_shuffles(self, spark, tmp_path):
+        """write_bm25_index buckets {prefix}_doclen by doc_id: the scoring
+        join hits⋈doc_len reads the doc_len side with ZERO Exchange (only
+        the term-filtered hits move) — on a heavy term, hits ≈ corpus and
+        an unbucketed doc_len would put BOTH corpus-sized sides through
+        the shuffle, the dominant cost at 10^10 docs.  A plain parquet
+        read of the SAME doclen files forgets the bucketing and shuffles
+        both sides."""
+        import uuid
+
+        from py_evalfilter_spark.operators import retrieval
+
+        docs = dq._read(spark, SF, "documents").select("doc_id", "text").limit(200)
+        postings, doc_len = retrieval.bm25_postings(docs, "doc_id", "text")
+        prefix = f"bm25plan_{uuid.uuid4().hex[:8]}"
+        retrieval.write_bm25_index(
+            postings, doc_len, prefix, n_buckets=4, path=str(tmp_path / "ix")
+        )
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            p, d = retrieval.read_bm25_index(spark, prefix)
+            hits = p.filter(F.col("term").isin(["the", "scan", "row"]))
+            jplan = _plan(hits.join(d, "doc_id"))
+            assert jplan.count("Exchange hashpartitioning") == 1, jplan
+
+            raw = spark.read.parquet(str(tmp_path / "ix" / "doclen"))
+            rplan = _plan(hits.join(raw, "doc_id"))
+            assert rplan.count("Exchange hashpartitioning") == 2, rplan
+            # scoring through the persisted index stays correct
+            scored = retrieval.bm25_scores(
+                docs, "doc_id", "text", "table scan row",
+                postings=p, doc_len=d,
+            )
+            fresh = retrieval.bm25_scores(docs, "doc_id", "text", "table scan row")
+            got = {r["doc_id"]: r["bm25"] for r in scored.collect()}
+            want = {r["doc_id"]: r["bm25"] for r in fresh.collect()}
+            assert got.keys() == want.keys() and all(
+                abs(got[k] - want[k]) < 1e-9 for k in want
+            )
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+            spark.sql(f"DROP TABLE IF EXISTS {prefix}_postings")
+            spark.sql(f"DROP TABLE IF EXISTS {prefix}_doclen")
+
+
 class TestUdfProperties:
     def test_scalar_feature_udf_prunes_under_count(self, spark):
         t = dq.transcripts_df(spark, SF)
