@@ -3182,6 +3182,47 @@ WHERE NOT EXISTS (SELECT 1 FROM documents d WHERE d.text = s.text)
 """
 
 
+def q_bloom_dedup_sliced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same contract as q_bloom_dedup but through the SLICED filter
+    regime (bloom.bloom_dedup_against(n_slices=4) — per-slice bitmap
+    files instead of one broadcast blob, the beyond-RAM layout for
+    billions of standing keys).  Exactness is regime-independent: the
+    confirm join repairs every false positive, so the output is still
+    EXACTLY the anti-join — the oracle is the same statement with a
+    shifted shard (ids +3M/+4M, suffix ' ww') so the two rows cannot
+    mask each other."""
+    from ..operators import bloom
+
+    docs = _read(spark, sf_dir, "documents")
+    base = docs.filter(F.col("doc_id") % 41 == 0)
+    shard = base.select(
+        (F.col("doc_id") + 3_000_000).alias("doc_id"), "text"
+    ).unionByName(
+        base.select(
+            (F.col("doc_id") + 4_000_000).alias("doc_id"),
+            F.concat("text", F.lit(" ww")).alias("text"),
+        )
+    )
+    return bloom.bloom_dedup_against(
+        shard, docs.select("text"), "text", fp_rate=1e-3, confirm=True,
+        n_slices=4,
+    )
+
+
+SQL_BLOOM_DEDUP_SLICED = """
+WITH shard AS (
+  SELECT doc_id + 3000000 AS doc_id, text
+  FROM documents WHERE doc_id % 41 = 0
+  UNION ALL
+  SELECT doc_id + 4000000 AS doc_id, text || ' ww' AS text
+  FROM documents WHERE doc_id % 41 = 0
+)
+SELECT s.doc_id, s.text
+FROM shard s
+WHERE NOT EXISTS (SELECT 1 FROM documents d WHERE d.text = s.text)
+"""
+
+
 BM25_QUERY = "spark hash join vector"
 _BM25_K1, _BM25_B = 1.2, 0.75
 
@@ -3284,11 +3325,49 @@ GROUP BY q.query_id, p.doc_id
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- rotation discipline: the driver snapshots roughly the first 50
     # entries of this dict per round, so entries whose NEWEST driver-green
-    # CORRECTNESS row is oldest go FIRST (no entry's freshest row should
+    # CORRECTNESS row is OLDEST go FIRST (no entry's freshest row should
     # age past ~2 rounds).  New queries are added at the FRONT (they have
-    # no row at all).  r6 order: [new r6 queries] > last green r4
-    # (token_count..smote, outside the r5 window) > first green r5
-    # (perplexity_buckets..semdedup) > long-green r1-r5 core at the tail.
+    # no row at all).  r7 order: [new r7 queries] > last green r5
+    # (CORRECTNESS_r05.json: the 34 entries outside the r6 window —
+    # cluster_split..semdedup tail + the long-green r1-r5 core) > last
+    # green r6 (CORRECTNESS_r06.json: the r6-new operators + the
+    # token_count..smote and perplexity_buckets..chunk_documents blocks).
+    "bloom_dedup_sliced": q_bloom_dedup_sliced,
+    "cluster_split": q_cluster_split,
+    "lm_score": q_lm_score,
+    "cap_per_group": q_cap_per_group,
+    "dsir_weights": q_dsir_weights,
+    "semantic_cluster": q_semantic_cluster,
+    "semdedup": q_semdedup,
+    "scan_filter_project": q_scan_filter_project,
+    "union_labeled": q_union_labeled,
+    "target_derivation": q_target_derivation,
+    "groupby_stats": q_groupby_stats,
+    "broadcast_join_agg": q_broadcast_join_agg,
+    "topk_vocab": q_topk_vocab,
+    "lag_lead": q_lag_lead,
+    "backfill": q_backfill,
+    "rolling": q_rolling,
+    "sessionize": q_sessionize,
+    "session_agg": q_session_agg,
+    "rolling_time": q_rolling_time,
+    "rollup_agg": q_rollup_agg,
+    "topk_per_group": q_topk_per_group,
+    "percentiles": q_percentiles,
+    "asof_join": q_asof_join,
+    "asof_tolerance": q_asof_tolerance,
+    "decode_profile": q_decode_profile,
+    "label_encode": q_label_encode,
+    "one_hot": q_one_hot,
+    "json_extract": q_json_extract,
+    "pivot": q_pivot,
+    "cube_agg": q_cube_agg,
+    "semi_anti_join": q_semi_anti_join,
+    "salted_agg": q_salted_agg,
+    "binary_meta": q_binary_meta,
+    "dedup_exact": q_dedup_exact,
+    "dedup_fuzzy_window": q_dedup_fuzzy_window,
+    # --- driver-green in round 6 (CORRECTNESS_r06.json) ---
     "bloom_dedup": q_bloom_dedup,
     "bm25_search": q_bm25_search,
     "bm25_batch": q_bm25_batch,
@@ -3323,7 +3402,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "langid": q_langid,
     "fingerprint": q_fingerprint,
     "smote": q_smote,
-    # --- first driver-green in round 5 (CORRECTNESS_r05.json) ---
     "perplexity_buckets": q_perplexity_buckets,
     "upsample_sources": q_upsample_sources,
     "temperature_mix": q_temperature_mix,
@@ -3340,47 +3418,48 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_cluster": q_dedup_cluster,
     "curation_pipeline": q_curation_pipeline,
     "chunk_documents": q_chunk_documents,
-    "cluster_split": q_cluster_split,
-    "lm_score": q_lm_score,
-    "cap_per_group": q_cap_per_group,
-    "dsir_weights": q_dsir_weights,
-    "semantic_cluster": q_semantic_cluster,
-    "semdedup": q_semdedup,
-    # --- long-green core (r1-r4 consecutive + re-greened r5) ---
-    "scan_filter_project": q_scan_filter_project,
-    "union_labeled": q_union_labeled,
-    "target_derivation": q_target_derivation,
-    "groupby_stats": q_groupby_stats,
-    "broadcast_join_agg": q_broadcast_join_agg,
-    "topk_vocab": q_topk_vocab,
-    "lag_lead": q_lag_lead,
-    "backfill": q_backfill,
-    "rolling": q_rolling,
-    "sessionize": q_sessionize,
-    "session_agg": q_session_agg,
-    "rolling_time": q_rolling_time,
-    "rollup_agg": q_rollup_agg,
-    "topk_per_group": q_topk_per_group,
-    "percentiles": q_percentiles,
-    "asof_join": q_asof_join,
-    "asof_tolerance": q_asof_tolerance,
-    "decode_profile": q_decode_profile,
-    "label_encode": q_label_encode,
-    "one_hot": q_one_hot,
-    "json_extract": q_json_extract,
-    "pivot": q_pivot,
-    "cube_agg": q_cube_agg,
-    "semi_anti_join": q_semi_anti_join,
-    "salted_agg": q_salted_agg,
-    "binary_meta": q_binary_meta,
-    "dedup_exact": q_dedup_exact,
-    "dedup_fuzzy_window": q_dedup_fuzzy_window,
 }
 
 ORACLES: dict[str, str] = {
     # rotated to mirror QUERIES order (stalest driver rows first);
     # curation_pipeline is rows-only by design (composite, stages
     # individually oracled below).
+    "bloom_dedup_sliced": SQL_BLOOM_DEDUP_SLICED,
+    "cluster_split": SQL_CLUSTER_SPLIT,
+    "lm_score": SQL_LM_SCORE,
+    "cap_per_group": SQL_CAP_PER_GROUP,
+    "dsir_weights": SQL_DSIR_WEIGHTS,
+    "semantic_cluster": SQL_SEMANTIC_CLUSTER,
+    "semdedup": SQL_SEMDEDUP,
+    "scan_filter_project": SQL_SCAN_FILTER_PROJECT,
+    "union_labeled": SQL_UNION_LABELED,
+    "target_derivation": SQL_TARGET_DERIVATION,
+    "groupby_stats": SQL_GROUPBY_STATS,
+    "broadcast_join_agg": SQL_BROADCAST_JOIN_AGG,
+    "topk_vocab": SQL_TOPK_VOCAB,
+    "lag_lead": SQL_LAG_LEAD,
+    "backfill": SQL_BACKFILL,
+    "rolling": SQL_ROLLING,
+    "sessionize": SQL_SESSIONIZE,
+    "session_agg": SQL_SESSION_AGG,
+    "rolling_time": SQL_ROLLING_TIME,
+    "rollup_agg": SQL_ROLLUP_AGG,
+    "topk_per_group": SQL_TOPK_PER_GROUP,
+    "percentiles": SQL_PERCENTILES,
+    "asof_join": SQL_ASOF_JOIN,
+    "asof_tolerance": SQL_ASOF_TOLERANCE,
+    "decode_profile": SQL_DECODE_PROFILE,
+    "label_encode": SQL_LABEL_ENCODE,
+    "one_hot": SQL_ONE_HOT,
+    "json_extract": SQL_JSON_EXTRACT,
+    "pivot": SQL_PIVOT,
+    "cube_agg": SQL_CUBE_AGG,
+    "semi_anti_join": SQL_SEMI_ANTI_JOIN,
+    "salted_agg": SQL_SALTED_AGG,
+    "binary_meta": SQL_BINARY_META,
+    "dedup_exact": SQL_DEDUP_EXACT,
+    "dedup_fuzzy_window": SQL_DEDUP_FUZZY_WINDOW,
+    # --- driver-green in round 6 (CORRECTNESS_r06.json) ---
     "bloom_dedup": SQL_BLOOM_DEDUP,
     "bm25_search": SQL_BM25_SEARCH,
     "bm25_batch": SQL_BM25_BATCH,
@@ -3425,40 +3504,6 @@ ORACLES: dict[str, str] = {
     "mask_pii": SQL_MASK_PII,
     "dedup_cluster": SQL_DEDUP_CLUSTER,
     "chunk_documents": SQL_CHUNK_DOCUMENTS,
-    "cluster_split": SQL_CLUSTER_SPLIT,
-    "lm_score": SQL_LM_SCORE,
-    "cap_per_group": SQL_CAP_PER_GROUP,
-    "dsir_weights": SQL_DSIR_WEIGHTS,
-    "semantic_cluster": SQL_SEMANTIC_CLUSTER,
-    "semdedup": SQL_SEMDEDUP,
-    "scan_filter_project": SQL_SCAN_FILTER_PROJECT,
-    "union_labeled": SQL_UNION_LABELED,
-    "target_derivation": SQL_TARGET_DERIVATION,
-    "groupby_stats": SQL_GROUPBY_STATS,
-    "broadcast_join_agg": SQL_BROADCAST_JOIN_AGG,
-    "topk_vocab": SQL_TOPK_VOCAB,
-    "lag_lead": SQL_LAG_LEAD,
-    "backfill": SQL_BACKFILL,
-    "rolling": SQL_ROLLING,
-    "sessionize": SQL_SESSIONIZE,
-    "session_agg": SQL_SESSION_AGG,
-    "rolling_time": SQL_ROLLING_TIME,
-    "rollup_agg": SQL_ROLLUP_AGG,
-    "topk_per_group": SQL_TOPK_PER_GROUP,
-    "percentiles": SQL_PERCENTILES,
-    "asof_join": SQL_ASOF_JOIN,
-    "asof_tolerance": SQL_ASOF_TOLERANCE,
-    "decode_profile": SQL_DECODE_PROFILE,
-    "label_encode": SQL_LABEL_ENCODE,
-    "one_hot": SQL_ONE_HOT,
-    "json_extract": SQL_JSON_EXTRACT,
-    "pivot": SQL_PIVOT,
-    "cube_agg": SQL_CUBE_AGG,
-    "semi_anti_join": SQL_SEMI_ANTI_JOIN,
-    "salted_agg": SQL_SALTED_AGG,
-    "binary_meta": SQL_BINARY_META,
-    "dedup_exact": SQL_DEDUP_EXACT,
-    "dedup_fuzzy_window": SQL_DEDUP_FUZZY_WINDOW,
     # rows-only (Arrow-UDF tokenizers / banded-LSH internals / iterative
     # component loops not expressible in ANSI SQL; allclose- or
     # recall-tested in pytest, and every curation_pipeline stage is
