@@ -161,6 +161,15 @@ CONSUME: dict[str, list[str]] = {
         "count(*) AS n", "sum(bm25) AS a",  # one postings pass, 3 queries
         "sum(length(query_id)) AS b",
     ],
+    "spine_features": [
+        "count(*) AS n", "sum(prof_purchase_value) AS a",  # table-1 as-of fill
+        "sum(clk_click_value) AS b",                       # table-2 fill + tolerance
+        "sum(ts_ep) AS c", "sum(clk_n_clicks) AS d",
+    ],
+    "line_dedup_incremental": [
+        "count(*) AS n", "sum(n_lines_kept) AS a",  # bloom probe + confirm + rebuild
+        "sum(n_lines_dropped) AS b",
+    ],
 }
 
 BENCH_QUERIES = list(CONSUME)

@@ -1055,14 +1055,7 @@ def dedup_lines(
     element_at picks over the named line array — never an
     array_contains membership scan per line, which is O(lines·kept) and
     turns a 10^5-line mega-doc into a quadratic single task."""
-    keys = (
-        df.select(
-            F.col(id_col),
-            F.posexplode(F.split(text_col, sep)).alias("idx", "line"),
-        )
-        .filter(_line_norm(F.col("line")) != "")
-        .select(F.col(id_col), F.col("idx"), _line_key(F.col("line")).alias("_key"))
-    )
+    keys = _line_keys(df, id_col, text_col, sep)
     firsts = keys.groupBy("_key").agg(
         F.min(F.struct(F.col(id_col), F.col("idx"))).alias("_first")
     )
@@ -1072,6 +1065,28 @@ def dedup_lines(
         .groupBy(id_col)
         .agg(F.collect_list("idx").alias("_keep_idx"))
     )
+    return _rebuild_lines(df, keep_sets, id_col, text_col, sep)
+
+
+def _line_keys(df: DataFrame, id_col: str, text_col: str, sep: str) -> DataFrame:
+    """(id, idx, _key) for every non-structural line — the narrow frame
+    every line-dedup variant keys on (text never enters it)."""
+    return (
+        df.select(
+            F.col(id_col),
+            F.posexplode(F.split(text_col, sep)).alias("idx", "line"),
+        )
+        .filter(_line_norm(F.col("line")) != "")
+        .select(F.col(id_col), F.col("idx"), _line_key(F.col("line")).alias("_key"))
+    )
+
+
+def _rebuild_lines(
+    df: DataFrame, keep_sets: DataFrame, id_col: str, text_col: str, sep: str
+) -> DataFrame:
+    """Rebuild `text_col` from the per-doc survivor index arrays, keeping
+    structural (blank/punct-only) lines — the shared tail of dedup_lines
+    and dedup_lines_against (contract documented on dedup_lines)."""
 
     def _exempt_pos(x, i):
         # two-parameter HOF lambda = (element, index) — here that trap IS
@@ -1106,3 +1121,108 @@ def dedup_lines(
         .withColumn(text_col, F.array_join("_kept", sep))
         .drop("_keep_idx", "_arr", "_pos", "_kept")
     )
+
+
+def dedup_lines_against(
+    shard: DataFrame,
+    standing: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+    fp_rate: float = 1e-4,
+    confirm: bool = True,
+    n_standing_lines: int | None = None,
+    prebuilt: tuple[bytes, int] | None = None,
+    prebuilt_sliced=None,
+    seed: int = 42,
+) -> DataFrame:
+    """Incremental line-level dedup: drop from each `shard` document every
+    line whose normalized hash occurs in the STANDING corpus, or earlier
+    within the shard — ≡ `dedup_lines(standing ∪ shard)` restricted to
+    shard rows (standing lines always precede shard lines), which is what
+    the driver oracle states.  This is the daily-crawl regime CCNet-style
+    line dedup actually runs in (and the membership-filter pattern
+    Dolma's dedupe tool uses): the standing corpus is already deduped,
+    only the shard's rows change.
+
+    100 TB shape — the standing corpus is never shuffled:
+      * the standing pass is PURE MAP: explode lines → md5(normalized) →
+        per-partition Bloom bitmaps, OR-merged executor-side
+        (operators/bloom.build_bloom; no distinct, no groupBy — inserting
+        a duplicate key twice is a no-op);
+      * shard lines probe the bitmap map-side; NEGATIVES (definitely not
+        in standing) skip every join — with a calibrated ε that is almost
+        all genuinely-new lines;
+      * confirm=True (exact): only the positive sliver anti-joins the
+        standing line keys — the Bloom is a pure join-input reducer, so
+        the output is exact.  confirm=False (approximate, Dolma's trade):
+        positives drop outright — ~ε of genuinely-new lines lost, ZERO
+        standing-side shuffle ever.
+      * within-shard first-occurrence keep reuses dedup_lines' shape
+        (groupBy(key).min(struct) over NEW lines only — shard-sized).
+      * `prebuilt` = (bitmap, n_hashes) from build_bloom over the standing
+        line keys (same seed), the amortized loop: build at backfill,
+        OR-in each accepted shard's own line bitmap after ingest.
+        `prebuilt_sliced` = a SlicedBloom for standing line sets beyond
+        one bitmap's practical ceiling (10^11 lines at ε=1e-4 ≈ 240 GB
+        of bitmap → slice it; see bloom.py module docstring).
+
+    Structural (blank/punct-only) lines are exempt and survive, exactly as
+    in dedup_lines; fully-duplicated documents keep an empty string."""
+    from .bloom import (
+        bloom_params,
+        build_bloom,
+        with_bloom_probe,
+        with_sliced_bloom_probe,
+    )
+
+    if standing is None and (confirm or (prebuilt is None and prebuilt_sliced is None)):
+        raise ValueError(
+            "standing is required unless confirm=False with a prebuilt filter"
+        )
+
+    skeys = _line_keys(shard, id_col, text_col, sep)
+    st_keys = (
+        _line_keys(standing, id_col, text_col, sep).select("_key")
+        if standing is not None
+        else None
+    )
+
+    if prebuilt_sliced is not None:
+        flagged = with_sliced_bloom_probe(
+            skeys, "_key", prebuilt_sliced, out_col="_maybe"
+        )
+    else:
+        if prebuilt is not None:
+            bmp, k = prebuilt
+        else:
+            n = (
+                n_standing_lines
+                if n_standing_lines is not None
+                else st_keys.count()
+            )
+            n_bits, k = bloom_params(n, fp_rate)
+            bmp = build_bloom(st_keys, "_key", n_bits, k, seed)
+        flagged = with_bloom_probe(skeys, "_key", bmp, k, seed, out_col="_maybe")
+
+    definite_new = flagged.filter(~F.col("_maybe")).drop("_maybe")
+    if confirm:
+        sliver_new = (
+            flagged.filter(F.col("_maybe"))
+            .drop("_maybe")
+            .join(st_keys, "_key", "left_anti")
+        )
+        new_keys = definite_new.unionByName(sliver_new)
+    else:
+        new_keys = definite_new
+
+    firsts = new_keys.groupBy("_key").agg(
+        F.min(F.struct(F.col(id_col), F.col("idx"))).alias("_first")
+    )
+    keep_sets = (
+        new_keys.join(firsts, "_key")
+        .filter(F.struct(F.col(id_col), F.col("idx")) == F.col("_first"))
+        .groupBy(id_col)
+        .agg(F.collect_list("idx").alias("_keep_idx"))
+    )
+    return _rebuild_lines(shard, keep_sets, id_col, text_col, sep)

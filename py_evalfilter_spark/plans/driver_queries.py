@@ -3318,6 +3318,178 @@ GROUP BY q.query_id, p.doc_id
 """
 
 
+
+
+def q_spine_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table point-in-time spine join (operators/spine — the
+    feature-store get_historical_features primitive): a training spine of
+    every 3rd turn gets (a) the latest profile purchase and (b) the latest
+    click aggregate no staler than 2 h, both leakage-free, in ONE window
+    pass (one Exchange + one WindowExec for k tables, plan-pinned).
+    DuckDB oracle: two chained ASOF LEFT JOINs + the staleness CASE."""
+    from ..operators.spine import FeatureTable, spine_point_in_time
+
+    t = transcripts_df(spark, sf_dir)
+    spine = t.filter(F.col("turn_idx") % 3 == 0).select(
+        "conv_id", "turn_idx", "ts"
+    )
+    prof = profile_df(spark, sf_dir)
+    ev = _read(spark, sf_dir, "events")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy(
+            F.concat(F.lit("conv_"), F.col("user_id").cast("string")).alias(
+                "conv_id"
+            ),
+            "ts",
+        )
+        .agg(
+            F.round(F.max("value"), 2).alias("click_value"),
+            F.count(F.lit(1)).alias("n_clicks"),
+        )
+    )
+    out = spine_point_in_time(
+        spine,
+        [
+            FeatureTable(prof, "prof"),
+            FeatureTable(clicks, "clk", tolerance_s=7200),
+        ],
+    )
+    return out.select(
+        "conv_id",
+        "turn_idx",
+        F.col("ts").cast("timestamp").cast("long").alias("ts_ep"),
+        F.col("prof_ts").cast("timestamp").cast("long").alias("prof_ts_ep"),
+        "prof_purchase_value",
+        F.col("clk_ts").cast("timestamp").cast("long").alias("clk_ts_ep"),
+        "clk_click_value",
+        "clk_n_clicks",
+    )
+
+
+SQL_SPINE_FEATURES = f"""
+WITH {TRANSCRIPTS_CTE.strip()},
+{PROFILE_CTE.strip()},
+clicks AS (
+  SELECT 'conv_' || CAST(user_id AS STRING) AS conv_id, ts,
+         ROUND(MAX(value), 2) AS click_value,
+         CAST(COUNT(*) AS BIGINT) AS n_clicks
+  FROM events WHERE event_type = 'click' GROUP BY 1, 2
+),
+spine AS (SELECT conv_id, turn_idx, ts FROM transcripts WHERE turn_idx % 3 = 0),
+m1 AS (
+  SELECT s.conv_id, s.turn_idx, s.ts, p.ts AS pts, p.purchase_value
+  FROM spine s
+  ASOF LEFT JOIN profile p ON s.conv_id = p.conv_id AND s.ts >= p.ts
+),
+m2 AS (
+  SELECT m1.*, c.ts AS cts, c.click_value, c.n_clicks
+  FROM m1
+  ASOF LEFT JOIN clicks c ON m1.conv_id = c.conv_id AND m1.ts >= c.ts
+)
+SELECT conv_id, turn_idx,
+       CAST(FLOOR(epoch(ts)) AS BIGINT) AS ts_ep,
+       CAST(FLOOR(epoch(pts)) AS BIGINT) AS prof_ts_ep,
+       purchase_value AS prof_purchase_value,
+       CASE WHEN FLOOR(epoch(ts)) - FLOOR(epoch(cts)) <= 7200
+            THEN CAST(FLOOR(epoch(cts)) AS BIGINT) END AS clk_ts_ep,
+       CASE WHEN FLOOR(epoch(ts)) - FLOOR(epoch(cts)) <= 7200
+            THEN click_value END AS clk_click_value,
+       CASE WHEN FLOOR(epoch(ts)) - FLOOR(epoch(cts)) <= 7200
+            THEN n_clicks END AS clk_n_clicks
+FROM m2
+"""
+
+
+def q_line_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental CCNet line dedup (corpus.dedup_lines_against): a shard
+    whose docs hold two standing lines (their source doc's text and the
+    next doc's), one per-doc fresh line (the reversed text — unique,
+    letters-only normalization preserved), and one shard-wide shared
+    boilerplate line.  Expected survivors: the fresh line everywhere and
+    the boilerplate once (its first shard occurrence); standing lines
+    always drop.  The Bloom filter is a join-input reducer only
+    (confirm=True) so the output is exact — the oracle states the
+    standing-membership + first-in-shard rule directly."""
+    from ..operators import corpus
+
+    docs = _read(spark, sf_dir, "documents")
+    nxt = docs.select(
+        (F.col("doc_id") - 1).alias("doc_id"), F.col("text").alias("_t2")
+    )
+    shard = (
+        docs.filter(F.col("doc_id") % 13 == 0)
+        .join(nxt, "doc_id", "left")
+        .select(
+            (F.col("doc_id") + 5_000_000).alias("doc_id"),
+            F.concat_ws(
+                "\n",
+                F.col("text"),
+                F.reverse(F.col("text")),
+                F.lit("zz shared fresh boilerplate zz"),
+                F.coalesce(F.col("_t2"), F.lit("")),
+            ).alias("text"),
+        )
+    )
+    return corpus.dedup_lines_against(
+        shard, docs.select("doc_id", "text")
+    ).select("doc_id", "text", "n_lines_kept", "n_lines_dropped")
+
+
+SQL_LINE_DEDUP_INCREMENTAL = """
+WITH shard AS (
+  SELECT d.doc_id + 5000000 AS doc_id,
+         d.text || chr(10) || reverse(d.text) || chr(10)
+                || 'zz shared fresh boilerplate zz' || chr(10)
+                || COALESCE(n.text, '') AS text
+  FROM documents d LEFT JOIN documents n ON n.doc_id = d.doc_id + 1
+  WHERE d.doc_id % 13 = 0
+),
+split AS (
+  SELECT doc_id,
+         unnest(generate_series(1, len(string_split(text, chr(10))))) - 1 AS idx,
+         unnest(string_split(text, chr(10))) AS line
+  FROM shard
+),
+lines AS (
+  SELECT doc_id, idx, line,
+         regexp_replace(lower(line), '[^\\p{L}]+', '', 'g') AS norm
+  FROM split
+),
+st_split AS (
+  SELECT unnest(string_split(text, chr(10))) AS line FROM documents
+),
+standing AS (
+  SELECT DISTINCT regexp_replace(lower(line), '[^\\p{L}]+', '', 'g') AS norm
+  FROM st_split
+),
+ranked AS (
+  SELECT doc_id, idx, line,
+         ROW_NUMBER() OVER (PARTITION BY norm ORDER BY doc_id, idx) AS rn
+  FROM lines
+  WHERE norm <> '' AND norm NOT IN (SELECT norm FROM standing)
+),
+kept AS (
+  SELECT doc_id, idx, line FROM ranked WHERE rn = 1
+  UNION ALL
+  SELECT doc_id, idx, line FROM lines WHERE norm = ''
+),
+rebuilt AS (
+  SELECT doc_id, COUNT(*) AS n_lines_kept,
+         string_agg(line, chr(10) ORDER BY idx) AS text
+  FROM kept GROUP BY doc_id
+),
+totals AS (SELECT doc_id, COUNT(*) AS n_total FROM lines GROUP BY doc_id)
+SELECT s.doc_id,
+       COALESCE(r.text, '') AS text,
+       COALESCE(r.n_lines_kept, 0) AS n_lines_kept,
+       t.n_total - COALESCE(r.n_lines_kept, 0) AS n_lines_dropped
+FROM shard s
+LEFT JOIN rebuilt r ON r.doc_id = s.doc_id
+JOIN totals t ON t.doc_id = s.doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3332,6 +3504,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # cluster_split..semdedup tail + the long-green r1-r5 core) > last
     # green r6 (CORRECTNESS_r06.json: the r6-new operators + the
     # token_count..smote and perplexity_buckets..chunk_documents blocks).
+    "spine_features": q_spine_features,
+    "line_dedup_incremental": q_line_dedup_incremental,
     "bloom_dedup_sliced": q_bloom_dedup_sliced,
     "cluster_split": q_cluster_split,
     "lm_score": q_lm_score,
@@ -3424,6 +3598,8 @@ ORACLES: dict[str, str] = {
     # rotated to mirror QUERIES order (stalest driver rows first);
     # curation_pipeline is rows-only by design (composite, stages
     # individually oracled below).
+    "spine_features": SQL_SPINE_FEATURES,
+    "line_dedup_incremental": SQL_LINE_DEDUP_INCREMENTAL,
     "bloom_dedup_sliced": SQL_BLOOM_DEDUP_SLICED,
     "cluster_split": SQL_CLUSTER_SPLIT,
     "lm_score": SQL_LM_SCORE,

@@ -172,6 +172,22 @@ class TestBenchedQueryPlans:
         plan = self._benched(spark, "gopher_quality")
         assert plan.count("Exchange hashpartitioning") == 0, plan[:600]
 
+    def test_spine_features_keeps_struct_fills(self, spark):
+        """The benched spine join must keep the ignore-nulls last() struct
+        fills (the k-table as-of itself) and exactly ONE WindowExec for
+        the join — k same-spec fills ride one window (operators/spine)."""
+        plan = self._benched(spark, "spine_features")
+        assert "last(" in plan
+        # transcripts derivation adds its own row_number window; the spine
+        # join itself must not add more than one on top
+        assert plan.count("Window") <= 2
+
+    def test_line_dedup_incremental_keeps_probe_udf(self, spark):
+        """The benched frame must keep the Bloom probe (ArrowEvalPython) —
+        a pruned plan would time the shard explode only."""
+        plan = self._benched(spark, "line_dedup_incremental")
+        assert "ArrowEvalPython" in plan
+
     def test_dedup_incremental_keeps_verify_udf(self, spark):
         """The benched frame must keep the exact-Jaccard Arrow verify (the
         jaccard sum consumes it) — a pruned plan would time LSH banding
