@@ -291,6 +291,11 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "rows": n_turns,
         "turns_per_sec": round(n_turns / pipeline_sec, 1),
+        # Single fresh JVM, one lineage: ambient 3-7x JVM degradation and
+        # cache-warmth drift are NOT controlled here.  Cross-round deltas on
+        # individual rows must be adjudicated against the interleaved-JVM
+        # protocol in BENCH/BASELINE.md, not this smoke sample.
+        "protocol": "single-lineage smoke",
     }
     print(json.dumps(result))
 

@@ -1560,10 +1560,10 @@ def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_GOPHER_QUALITY = """
+SQL_GOPHER_QUALITY = r"""
 WITH w AS (
   SELECT doc_id, text,
-         list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS words
+         list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS words
   FROM documents
 ),
 m AS (
@@ -1575,7 +1575,7 @@ m AS (
            CAST(len(regexp_extract_all(text, '#|…|\.{3}'))
                 AS DOUBLE) / len(words) ELSE 0.0 END AS symbol_ratio,
          CASE WHEN len(words) > 0 THEN
-           CAST(len(list_filter(words, x -> regexp_matches(x, '\\p{L}')))
+           CAST(len(list_filter(words, x -> regexp_matches(x, '\p{L}')))
                 AS DOUBLE) / len(words) ELSE 0.0 END AS alpha_word_frac,
          CAST(len(list_filter(
            ['the','a','table','value','row','scan'],
