@@ -380,14 +380,17 @@ def curate_corpus_staged(
     budget: int = 256,
     benchmark_source: str = "src0",
     standing_path: str | None = None,
+    n_shards: int | None = None,
 ) -> tuple[DataFrame, dict]:
     """Durable, resumable curation: the same flow as :func:`curate_corpus`
-    split into three manifest-checkpointed stages (tables.run_stage — the
+    split into manifest-checkpointed stages (tables.run_stage — the
     flagship pipeline's resume discipline):
 
       filtered  quality + repetition + PII scrub
       deduped   exact dedup + MinHash clustering (+ optional semantic)
       packed    decontamination + mixing + packing
+      sharded   (n_shards set) terminal corpus assembly — shard_corpus
+                realized as one ORDERED parquet file per training shard
 
     A rerun after a mid-job failure recomputes ONLY stages whose outputs
     are missing or whose config fingerprint changed (e.g. a new `budget`
@@ -411,11 +414,14 @@ def curate_corpus_staged(
     # natural eviction boundary and never accumulates cache across stages.
     stage_pins = PinScope()
 
-    def stage(name: str, cfg: dict, build_fn) -> DataFrame:
+    def stage(
+        name: str, cfg: dict, build_fn, partition_by: list[str] | None = None
+    ) -> DataFrame:
         try:
             df, m, skipped = tables.run_stage(
                 spark, f"{out_dir}/{name}", name, build_fn,
                 config=cfg, input_paths=[docs_path],
+                partition_by=partition_by,
             )
         finally:
             stage_pins.release()
@@ -558,4 +564,39 @@ def curate_corpus_staged(
         },
         build_packed,
     )
-    return packed, manifests
+    if n_shards is None:
+        return packed, manifests
+
+    def build_sharded() -> DataFrame:
+        # Realize shard_corpus's documented contract (operators/corpus.py
+        # shard_corpus docstring): every shard's rows land in ONE task —
+        # repartition(n_shards, "shard") hashes each shard value to a
+        # single partition — sorted there by (shard, pos), so the file the
+        # dynamic-partition writer emits under shard=k/ IS the training
+        # order.  The extra "shard" sort key keeps per-shard pos runs
+        # contiguous when two shard values hash-collide into one task.
+        return (
+            corpus_ops.shard_corpus(packed, n_shards)
+            .repartition(n_shards, "shard")
+            .sortWithinPartitions("shard", "pos")
+        )
+
+    sharded = stage(
+        "sharded",
+        {
+            "upstream": manifests["packed"]["config_fingerprint"],
+            "n_shards": n_shards,
+        },
+        build_sharded,
+        partition_by=["shard"],
+    )
+    # per-shard rollup on top of write_stage's per-file lineage
+    # ("shard=3/part-….parquet" entries): the shard manifest a training
+    # loader consumes to plan its readers.
+    shards: dict[int, int] = {}
+    for p in manifests["sharded"]["partitions"]:
+        if "/" in p["file"] and p["file"].startswith("shard="):
+            k = int(p["file"].split("/", 1)[0].split("=", 1)[1])
+            shards[k] = shards.get(k, 0) + p["rows"]
+    manifests["sharded"]["shards"] = {str(k): shards[k] for k in sorted(shards)}
+    return sharded, manifests

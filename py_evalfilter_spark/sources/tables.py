@@ -83,15 +83,25 @@ def write_stage(
     writer.parquet(tmp) if not iceberg_available(spark) else writer.save(tmp)
     wall_ms = round((time.perf_counter() - t0) * 1000, 1)
 
-    # per-partition lineage: row count per output file (one cheap agg scan)
+    # per-partition lineage: row count per output file (one cheap agg scan).
+    # For partitioned layouts keep the partition directory (shard=3/part-…)
+    # in the lineage entry — the basename alone would collapse the layout.
     back = spark.read.parquet(tmp)
     per_file = (
         back.groupBy(F.input_file_name().alias("file"))
         .agg(F.count(F.lit(1)).alias("rows"))
         .collect()
     )
+
+    def _rel(uri: str) -> str:
+        p = uri.split("://", 1)[-1]
+        marker = os.path.basename(tmp) + os.sep
+        return p.split(marker, 1)[1] if marker in p else os.path.basename(p)
+
     partitions = [
-        {"file": os.path.basename(r["file"]), "rows": r["rows"]} for r in per_file
+        {"file": _rel(r["file"]) if partition_by else os.path.basename(r["file"]),
+         "rows": r["rows"]}
+        for r in per_file
     ]
     rows = sum(p["rows"] for p in partitions)
 
@@ -121,6 +131,7 @@ def run_stage(
     build_fn,
     config: dict | None = None,
     input_paths: list[str] | None = None,
+    partition_by: list[str] | None = None,
 ) -> tuple[DataFrame, dict, bool]:
     """Resume-aware stage execution.
 
@@ -138,7 +149,8 @@ def run_stage(
         return spark.read.parquet(path), existing, True
     df = build_fn()
     manifest = write_stage(
-        df, path, stage, config=config, input_paths=input_paths
+        df, path, stage, config=config, input_paths=input_paths,
+        partition_by=partition_by,
     )
     return spark.read.parquet(path), manifest, False
 
