@@ -35,7 +35,11 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
-        .config("spark.ui.enabled", "false")
+        # UI off by default (driver overhead); SPARK_GRAFT_UI=true exposes
+        # the REST status API so benches can read per-stage shuffle
+        # bytes/records — the term that becomes NETWORK on a real cluster
+        # and that wall-clock on one box (memory-bandwidth shuffle) hides
+        .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false"))
         # straggler mitigation: this VM occasionally degrades a worker for
         # minutes (measured: 31/32 tasks in seconds, one task 15+ min);
         # speculation re-launches slow tasks — the same defense a real

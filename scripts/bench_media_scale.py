@@ -1,0 +1,181 @@
+"""Media-family scale proof (VERDICT r6 #5): media_digest_dedup +
+curate_media at >=1M media rows with kB-scale synthetic blobs.
+
+What is being proven (one JSON line):
+  * digest dedup at 1M rows: wall + SHUFFLE volume — the groupBy keys on
+    md5(content) computed in the scan stage, so the one Exchange moves
+    32-char digests, never blobs.
+  * the blob-shuffling control: the SAME dedup keyed on the binary column
+    itself — identical output, but the Exchange carries the full media
+    bytes.  The shuffle-MiB ratio between the two rows is the number that
+    becomes network on a real cluster (local[32] hides it in memory
+    bandwidth).
+  * curate_media end-to-end (digest survivors + perceptual near-dup drop
+    from a precomputed feature table — the at-scale mode where feature
+    extraction is its own GPU job).
+
+Run with SPARK_GRAFT_UI=true to capture shuffle bytes via the REST API.
+
+    python scripts/bench_media_scale.py [--rows 1000000] [--blob-bytes 1024]
+"""
+
+from __future__ import annotations
+
+import argparse
+import hashlib
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rows", type=int, default=1_000_000)
+    ap.add_argument("--blob-bytes", type=int, default=1024)
+    ap.add_argument("--dup-rate", type=float, default=0.1,
+                    help="fraction of rows whose blob duplicates another row")
+    ap.add_argument("--work-dir", default="/tmp/media_scale")
+    args = ap.parse_args()
+
+    os.environ.setdefault("SPARK_DRIVER_MEMORY", "24g")
+    os.environ.setdefault("SPARK_LOCAL_DIRS", "/tmp/spark-local-big")
+    os.makedirs(os.environ["SPARK_LOCAL_DIRS"], exist_ok=True)
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from py_evalfilter_spark.functions import multimodal
+    from py_evalfilter_spark.session import get_spark
+
+    spark = get_spark()
+    work = args.work_dir
+    shutil.rmtree(work, ignore_errors=True)
+    os.makedirs(work, exist_ok=True)
+
+    def shuffle_snapshot():
+        try:
+            import urllib.request
+            sc = spark.sparkContext
+            if not sc.uiWebUrl:
+                return None
+            url = (f"{sc.uiWebUrl}/api/v1/applications/{sc.applicationId}"
+                   f"/stages?status=complete")
+            stages = json.load(urllib.request.urlopen(url, timeout=10))
+            return (sum(s.get("shuffleWriteBytes", 0) for s in stages),
+                    sum(s.get("shuffleWriteRecords", 0) for s in stages))
+        except Exception:
+            return None
+
+    def timed(fn):
+        before = shuffle_snapshot()
+        t0 = time.perf_counter()
+        r = fn()
+        wall = round(time.perf_counter() - t0, 2)
+        after = shuffle_snapshot()
+        mib = (round((after[0] - before[0]) / 2**20, 1)
+               if before is not None and after is not None else None)
+        return wall, mib, r
+
+    # ---- synthesize: deterministic kB blobs, dup-rate exact duplicates ----
+    n, blob = args.rows, args.blob_bytes
+    n_groups = int(n * (1 - args.dup_rate))
+    reps = (blob // 32) + 1
+    media_schema = T.StructType([
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("content", T.BinaryType(), False),
+        T.StructField("meta", T.StructType([
+            T.StructField("width", T.IntegerType(), True),
+            T.StructField("height", T.IntegerType(), True),
+            T.StructField("duration_ms", T.IntegerType(), True),
+            T.StructField("codec", T.StringType(), True),
+        ]), False),
+    ])
+    kinds = ["image", "audio", "video"]
+
+    def gen(batches):
+        import pandas as pd
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            rows = []
+            for i in ids:
+                gid = int(i) % n_groups  # ids >= n_groups duplicate a blob
+                content = (hashlib.sha256(str(gid).encode()).digest()
+                           * reps)[:blob]
+                rows.append((int(i), kinds[gid % 3], content,
+                             (64, 64, 5000, "fake")))
+            yield pd.DataFrame(rows,
+                               columns=["media_id", "kind", "content", "meta"])
+
+    path = f"{work}/media.parquet"
+    t0 = time.perf_counter()
+    (spark.range(0, n, 1, 128).mapInPandas(gen, schema=media_schema)
+     .write.mode("overwrite").parquet(path))
+    synth_sec = round(time.perf_counter() - t0, 2)
+    media = spark.read.parquet(path)
+
+    out = {"metric": "media_scale", "rows": n, "blob_bytes": blob,
+           "table_gib": round(n * blob / 2**30, 2), "synth_sec": synth_sec}
+
+    # ---- digest dedup: shuffle carries digests, never blobs ----
+    def run_digest():
+        return multimodal.media_digest_dedup(media).agg(
+            F.count(F.lit(1)).alias("groups"),
+            F.sum("n_copies").alias("total")).collect()[0]
+
+    wall, mib, row = timed(run_digest)
+    assert int(row["groups"]) == n_groups and int(row["total"]) == n
+    out["digest_dedup_sec"] = wall
+    out["digest_dedup_shuffle_mib"] = mib
+    out["digest_groups"] = int(row["groups"])
+
+    # plan evidence, asserted here too (pytest pins it at sf-test size):
+    # every mention of the content attribute sits BELOW the one Exchange
+    plan = multimodal.media_digest_dedup(media)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.index("Exchange hashpartitioning") < plan.index("content")
+    out["content_below_exchange"] = True
+
+    # ---- control: the SAME dedup keyed on the raw binary column ----
+    def run_blobkey():
+        return (media.groupBy("content")
+                .agg(F.min("media_id").alias("keep_id"),
+                     F.count(F.lit(1)).alias("n_copies"))
+                .agg(F.count(F.lit(1)).alias("groups")).collect()[0])
+
+    wall, mib, row = timed(run_blobkey)
+    assert int(row["groups"]) == n_groups
+    out["blobkey_control_sec"] = wall
+    out["blobkey_control_shuffle_mib"] = mib
+
+    # ---- curate_media end-to-end (precomputed features = at-scale mode) --
+    feats = multimodal.image_features(
+        media.filter(F.col("kind") == "image"))
+    feats_path = f"{work}/features.parquet"
+    t0 = time.perf_counter()
+    feats.write.mode("overwrite").parquet(feats_path)
+    out["feature_extract_sec"] = round(time.perf_counter() - t0, 2)
+    features = spark.read.parquet(feats_path)
+
+    def run_curate():
+        return multimodal.curate_media(
+            media, feature_threshold=0.95, features=features,
+        ).agg(F.count(F.lit(1)).alias("n")).collect()[0]
+
+    wall, mib, row = timed(run_curate)
+    out["curate_media_sec"] = wall
+    out["curate_media_shuffle_mib"] = mib
+    out["curate_survivors"] = int(row["n"])
+    out["docs_per_sec"] = round(n / wall, 1)
+
+    shutil.rmtree(work, ignore_errors=True)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

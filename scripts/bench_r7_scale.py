@@ -43,6 +43,11 @@ def main() -> None:
                     default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
     ap.add_argument("--only", default="A,B,C",
                     help="comma list of sections to run (A, B, C)")
+    ap.add_argument("--spine-k", type=int, default=2,
+                    help="number of feature tables in section C: 1 profile"
+                         " table + (k-1) disjoint click slices — the spine"
+                         " pass costs ONE Exchange+Sort at any k, the"
+                         " chained loop k of them")
     args = ap.parse_args()
 
     os.environ.setdefault("SPARK_DRIVER_MEMORY", "24g")
@@ -253,6 +258,36 @@ def main() -> None:
 
     # --- C: spine join at ~20M turns -------------------------------------
     if "C" in only:
+        # Shuffle VOLUME is the judged quantity here, not one-box wall:
+        # local[32] shuffles through memory/tmpfs, so an Exchange costs
+        # roughly its sort — on a 1000-executor cluster the same Exchange
+        # is network.  With SPARK_GRAFT_UI=true the REST status API gives
+        # per-stage shuffle write bytes/records; diff around each run.
+        def shuffle_snapshot():
+            try:
+                import urllib.request
+                sc = spark.sparkContext
+                base = sc.uiWebUrl
+                if not base:
+                    return None
+                url = (f"{base}/api/v1/applications/{sc.applicationId}"
+                       f"/stages?status=complete")
+                stages = json.load(urllib.request.urlopen(url, timeout=10))
+                return (sum(s.get("shuffleWriteBytes", 0) for s in stages),
+                        sum(s.get("shuffleWriteRecords", 0) for s in stages))
+            except Exception:
+                return None
+
+        def timed(fn):
+            before = shuffle_snapshot()
+            t0 = time.perf_counter()
+            fn()
+            wall = round(time.perf_counter() - t0, 2)
+            after = shuffle_snapshot()
+            if before is None or after is None:
+                return wall, None, None
+            return (wall, after[0] - before[0], after[1] - before[1])
+
         ev = spark.read.parquet(f"{args.sf_dir}/events.parquet")
         if args.mult > 1:
             ev = ev.repartition(128)
@@ -278,37 +313,68 @@ def main() -> None:
             .agg(F.round(F.max("value"), 2).alias("click_value"),
                  F.count(F.lit(1)).alias("n_clicks"))
         )
+        # pin the inputs so the timed region measures the ATTACH, not the
+        # shared synthesis lineage (which would otherwise re-execute inside
+        # both runs and dilute the shuffle-volume comparison)
+        spine = spine.persist()
+        prof = prof.persist()
+        clicks = clicks.persist()
         n_spine = spine.count()
+        prof.count(), clicks.count()
+        # k feature tables: profile + (k-1) DISJOINT click slices.  The
+        # slices partition the click stream, so total feature-row volume
+        # is constant in k — what varies is exactly the thing under test,
+        # the number of attach passes the chained loop pays for.
+        n_slices = max(args.spine_k - 1, 1)
+        if n_slices == 1:
+            slices = [clicks]
+        else:
+            b = F.pmod(F.xxhash64(F.col("ts").cast("string")),
+                       F.lit(n_slices))
+            slices = [clicks.filter(b == i) for i in range(n_slices)]
+        ftables = [FeatureTable(prof, "prof")] + [
+            FeatureTable(s, f"clk{i}", tolerance_s=7200)
+            for i, s in enumerate(slices)
+        ]
         aggs = ["count(*) AS n", "sum(prof_purchase_value) AS a",
-                "sum(clk_click_value) AS b", "sum(clk_n_clicks) AS c",
-                "sum(cast(cast(prof_ts AS timestamp) AS long)) AS d"]
-        t0 = time.perf_counter()
-        spine_point_in_time(
-            spine,
-            [FeatureTable(prof, "prof"),
-             FeatureTable(clicks, "clk", tolerance_s=7200)],
-        ).selectExpr(*aggs).collect()
-        spine_sec = round(time.perf_counter() - t0, 2)
-        t0 = time.perf_counter()
-        s1 = asof.asof_join_union_window(
-            spine,
-            prof.select("conv_id", "ts",
-                        F.col("purchase_value").alias("prof_purchase_value")),
-            right_ts_alias="prof_ts")
-        asof.asof_join_union_window(
-            s1,
-            clicks.select("conv_id", "ts",
-                          F.col("click_value").alias("clk_click_value"),
-                          F.col("n_clicks").alias("clk_n_clicks")),
-            right_ts_alias="clk_ts", tolerance_s=7200,
-        ).selectExpr(*aggs).collect()
-        chained_sec = round(time.perf_counter() - t0, 2)
+                "sum(cast(cast(prof_ts AS timestamp) AS long)) AS d"] + [
+            f"sum(clk{i}_click_value) AS b{i}" for i in range(n_slices)
+        ] + [f"sum(clk{i}_n_clicks) AS c{i}" for i in range(n_slices)]
+        def run_spine():
+            spine_point_in_time(spine, ftables).selectExpr(*aggs).collect()
+
+        def run_chained():
+            s1 = asof.asof_join_union_window(
+                spine,
+                prof.select(
+                    "conv_id", "ts",
+                    F.col("purchase_value").alias("prof_purchase_value")),
+                right_ts_alias="prof_ts")
+            for i, s in enumerate(slices):
+                s1 = asof.asof_join_union_window(
+                    s1,
+                    s.select("conv_id", "ts",
+                             F.col("click_value").alias(f"clk{i}_click_value"),
+                             F.col("n_clicks").alias(f"clk{i}_n_clicks")),
+                    right_ts_alias=f"clk{i}_ts", tolerance_s=7200,
+                )
+            s1.selectExpr(*aggs).collect()
+
+        spine_sec, spine_bytes, spine_recs = timed(run_spine)
+        chained_sec, chained_bytes, chained_recs = timed(run_chained)
         out["spine"] = {
             "n_spine_rows": n_spine,
+            "k_tables": len(ftables),
             "spine_sec": spine_sec,
-            "chained_2x_asof_sec": chained_sec,
+            "chained_asof_sec": chained_sec,
             "rows_per_sec": round(n_spine / spine_sec, 1),
             "speedup_vs_chained": round(chained_sec / spine_sec, 3),
+            "spine_shuffle_mib": (round(spine_bytes / 2**20, 1)
+                                  if spine_bytes is not None else None),
+            "chained_shuffle_mib": (round(chained_bytes / 2**20, 1)
+                                    if chained_bytes is not None else None),
+            "spine_shuffle_records": spine_recs,
+            "chained_shuffle_records": chained_recs,
         }
     shutil.rmtree(work, ignore_errors=True)
     print(json.dumps(out))

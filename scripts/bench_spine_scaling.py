@@ -58,7 +58,15 @@ clicks = (ev.filter(F.col("event_type") == "click")
             .groupBy(F.concat(F.lit("conv_"), F.col("user_id").cast("string")).alias("conv_id"), "ts")
             .agg(F.round(F.max("value"), 2).alias("click_value"),
                  F.count(F.lit(1)).alias("n_clicks")))
+# pin the inputs so each timed run measures the ATTACH pass, not a
+# re-execution of the shared synthesis lineage (same fix as
+# bench_r7_scale section C — unpinned, both plans re-run the explode/
+# window synthesis and the comparison dilutes)
+spine = spine.persist()
+prof = prof.persist()
+clicks = clicks.persist()
 n_spine = spine.count()
+prof.count(), clicks.count()
 
 def best_of(fn, reps):
     best = None
