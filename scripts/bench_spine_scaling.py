@@ -139,11 +139,17 @@ def main() -> None:
     ap.add_argument("--repeats", type=int, default=2)
     ap.add_argument("--jvms", type=int,
                     default=int(os.environ.get("SCALING_JVMS", "2")))
+    ap.add_argument("--exec-cores", type=int, default=2,
+                    help="cores per executor: 2 is the flagship pair; 1 is"
+                         " the unsaturated-bandwidth pair (CLAUDE.md BLAS"
+                         " idiom) for shuffle-bound ops where 4x2 already"
+                         " rides the memory-bus ceiling")
     args = ap.parse_args()
 
+    c = args.exec_cores
     specs = {
-        "N": ("local-cluster[1,2,22528]", 2),
-        "4N": ("local-cluster[4,2,22528]", 8),
+        "N": (f"local-cluster[1,{c},22528]", c),
+        "4N": (f"local-cluster[4,{c},22528]", 4 * c),
     }
     best: dict[str, dict] = {}
     for r in range(args.jvms):
@@ -160,7 +166,7 @@ def main() -> None:
     ) / 4.0
     ceff = (best["N"]["chained_sec"] / best["4N"]["chained_sec"]) / 4.0
     print(json.dumps({
-        "metric": "spine_join_scaling_1x2_to_4x2",
+        "metric": f"spine_join_scaling_1x{c}_to_4x{c}",
         "n_spine": best["N"]["n_spine"],
         "thr_N_rows_per_sec": best["N"]["spine_rows_per_sec"],
         "thr_4N_rows_per_sec": best["4N"]["spine_rows_per_sec"],
