@@ -156,6 +156,7 @@ def curate_media(
     features: DataFrame | None = None,
     real_decode: bool = False,
     id_col: str = "media_id",
+    **neardup_kwargs,
 ) -> DataFrame:
     """Optional media curation stage (the media twin of plans/curation.py's
     text stages): drop exact byte-duplicates (digest survivors only), then
@@ -181,7 +182,7 @@ def curate_media(
         ).withColumnRenamed("media_id", id_col)
     pairs = media_embedding_neardup(
         features, id_col=id_col, features_col="features",
-        threshold=feature_threshold,
+        threshold=feature_threshold, **neardup_kwargs,
     )
     drops = pairs.select(F.col("dup_id").alias(id_col)).distinct()
     return survivors.join(drops, id_col, "left_anti")

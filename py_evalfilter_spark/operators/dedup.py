@@ -1028,7 +1028,7 @@ def embedding_neardup_pairs(
     threshold: float = 0.95,
     n_planes: int = 8,
     seed: int = 42,
-    target_bucket_rows: int | None = None,
+    target_bucket_rows: int | None = 128,
     n_tables: int | None = None,
     target_recall: float = 0.95,
     dim: int | None = None,
@@ -1057,7 +1057,11 @@ def embedding_neardup_pairs(
     ``target_recall`` would need more than 64 tables, PLANES are walked
     back down until the budget fits (occupancy degrades, recall does not).
     The sizing count is a parquet count-pushdown scan (reads no column
-    data).
+    data).  The DEFAULT is 128 (not None): a fixed r=8 means 2^8 buckets
+    at ANY corpus size — at 333k vectors that is ~1,300 rows/bucket ×
+    ~10 tables ≈ 10^10 exact-verify dot products (measured hang); below
+    ~32k rows log2(n/128) <= 8, so small-corpus outputs are unchanged.
+    Pass ``target_bucket_rows=None`` to pin r = n_planes exactly.
 
     Precision is 1.0 by construction: every candidate is exact-verified.
     Candidates are deduped as id PAIRS before vectors are re-joined, so the

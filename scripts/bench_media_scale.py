@@ -83,7 +83,7 @@ def main() -> None:
     # ---- synthesize: deterministic kB blobs, dup-rate exact duplicates ----
     n, blob = args.rows, args.blob_bytes
     n_groups = int(n * (1 - args.dup_rate))
-    reps = (blob // 32) + 1
+    n_chunks = (blob + 31) // 32
     media_schema = T.StructType([
         T.StructField("media_id", T.LongType(), False),
         T.StructField("kind", T.StringType(), False),
@@ -104,8 +104,14 @@ def main() -> None:
             rows = []
             for i in ids:
                 gid = int(i) % n_groups  # ids >= n_groups duplicate a blob
-                content = (hashlib.sha256(str(gid).encode()).digest()
-                           * reps)[:blob]
+                # chained-hash expansion: INCOMPRESSIBLE bytes, so the
+                # blob-keyed control's shuffle carries real volume (a
+                # tiled pattern lz4-compressed 20x and made it vacuous)
+                seed_b = str(gid).encode()
+                content = b"".join(
+                    hashlib.sha256(seed_b + j.to_bytes(4, "little")).digest()
+                    for j in range(n_chunks)
+                )[:blob]
                 rows.append((int(i), kinds[gid % 3], content,
                              (64, 64, 5000, "fake")))
             yield pd.DataFrame(rows,
@@ -132,6 +138,7 @@ def main() -> None:
     out["digest_dedup_sec"] = wall
     out["digest_dedup_shuffle_mib"] = mib
     out["digest_groups"] = int(row["groups"])
+    print(json.dumps({"partial": "digest", **out}), flush=True)
 
     # plan evidence, asserted here too (pytest pins it at sf-test size):
     # every mention of the content attribute sits BELOW the one Exchange
@@ -152,19 +159,66 @@ def main() -> None:
     assert int(row["groups"]) == n_groups
     out["blobkey_control_sec"] = wall
     out["blobkey_control_shuffle_mib"] = mib
+    print(json.dumps({"partial": "blobkey", **out}), flush=True)
+
+    # ---- feature extraction throughput (map-only Arrow stage) ----
+    t0 = time.perf_counter()
+    multimodal.image_features(media.filter(F.col("kind") == "image")) \
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum(F.element_at("features", 1)).alias("s")).collect()
+    out["feature_extract_sec"] = round(time.perf_counter() - t0, 2)
+    print(json.dumps({"partial": "extract", **out}), flush=True)
 
     # ---- curate_media end-to-end (precomputed features = at-scale mode) --
-    feats = multimodal.image_features(
-        media.filter(F.col("kind") == "image"))
+    # The built-in FAKE extractor emits uniform [0,1]^16 vectors — all in
+    # the positive orthant, so hyperplane signs are near-constant and LSH
+    # buckets collapse (near-all-pairs; measured hang at 333k vectors).
+    # Real image embeddings are centered; synthesize centered vectors
+    # here — dup groups share a vector, so the near-dup stage has real
+    # work — which is exactly the precomputed-features mode curate_media
+    # exists for.
+    feat_schema = T.StructType([
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("features", T.ArrayType(T.DoubleType()), False),
+    ])
+
+    def gen_feats(batches):
+        import numpy as np
+        import pandas as pd
+        for pdf in batches:
+            ids = pdf["media_id"].to_numpy()
+            feats = []
+            for i in ids:
+                # HALF the feature-group modulus of the byte-group one:
+                # distinct blobs share embeddings (the re-encode/resize
+                # analogue), so perceptual dups exist among digest
+                # SURVIVORS and the near-dup stage does real dropping
+                gid = int(i) % (n_groups // 2)
+                h = hashlib.sha256(b"feat" + str(gid).encode()).digest()
+                arr = (np.frombuffer(h, dtype=np.uint16).astype(np.float64)
+                       / 65535.0 - 0.5)
+                feats.append(arr.round(6).tolist())
+            yield pd.DataFrame({"media_id": ids, "features": feats})
+
     feats_path = f"{work}/features.parquet"
-    t0 = time.perf_counter()
-    feats.write.mode("overwrite").parquet(feats_path)
-    out["feature_extract_sec"] = round(time.perf_counter() - t0, 2)
+    (media.filter(F.col("kind") == "image").select("media_id")
+     .mapInPandas(gen_feats, schema=feat_schema)
+     .write.mode("overwrite").parquet(feats_path))
     features = spark.read.parquet(feats_path)
 
     def run_curate():
+        # threshold 0.99: the perceptual-DUP semantic (re-encodes of one
+        # image) — at 0.95 the analytic table count holds recall for a
+        # similarity-search regime and the candidate mass at 333k vectors
+        # (~70M pairs × vector payload through two verify joins) spilled
+        # past this box's disk.  target_bucket_rows=8: candidate mass is
+        # ~ n × occupancy × tables / 2 and the analytic table count rises
+        # only slowly as planes deepen, so occupancy 40→5 cuts candidates
+        # ~6× (27M → ~3M measured at occupancy 40 → 8) for the same
+        # recall target — the dedup-regime tuning a deployment would use
         return multimodal.curate_media(
-            media, feature_threshold=0.95, features=features,
+            media, feature_threshold=0.99, features=features,
+            target_bucket_rows=8,
         ).agg(F.count(F.lit(1)).alias("n")).collect()[0]
 
     wall, mib, row = timed(run_curate)
