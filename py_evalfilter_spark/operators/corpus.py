@@ -1182,8 +1182,12 @@ def dedup_lines_against(
         )
 
     skeys = _line_keys(shard, id_col, text_col, sep)
+    # the standing side needs NO id column (only line keys leave it) — a
+    # bare text table works, e.g. the curation flow's standing_path select
     st_keys = (
-        _line_keys(standing, id_col, text_col, sep).select("_key")
+        standing.select(F.explode(F.split(text_col, sep)).alias("line"))
+        .filter(_line_norm(F.col("line")) != "")
+        .select(_line_key(F.col("line")).alias("_key"))
         if standing is not None
         else None
     )

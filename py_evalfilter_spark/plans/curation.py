@@ -253,15 +253,21 @@ def curate_corpus(
     # boilerplate BEFORE doc-level dedup so exact/MinHash stages compare
     # the residual content, not shared headers.  Text crosses the wire
     # once (operators/corpus.dedup_lines plan notes); pinned because the
-    # dedup stages below consume their input twice.
+    # dedup stages below consume their input twice.  With a STANDING
+    # corpus the incremental form runs instead: lines already owned by
+    # the standing corpus drop too (the daily-crawl regime — the batch
+    # form would happily re-admit standing boilerplate the ingest stage's
+    # whole-doc dedup can't see), ≡ dedup_lines(standing ∪ shard)
+    # restricted to shard rows, and the standing side is never shuffled
+    # (line-key Bloom + confirm on the positive sliver only).
     if line_dedup:
+        ld = (
+            corpus_ops.dedup_lines_against(scrubbed, standing.select("text"))
+            if standing is not None
+            else corpus_ops.dedup_lines(scrubbed)
+        )
         scrubbed = _p(
-            obs(
-                corpus_ops.dedup_lines(scrubbed).drop(
-                    "n_lines_kept", "n_lines_dropped"
-                ),
-                "line_dedup",
-            ),
+            obs(ld.drop("n_lines_kept", "n_lines_dropped"), "line_dedup"),
             pins,
         )
 
@@ -482,27 +488,35 @@ def curate_corpus_staged(
             # re-execute the classifier/quality/ingest chain — the same
             # twice-consumed-boundary rule the in-memory flow applies
             scrubbed = stage_pins.pin(scrubbed)
-            scrubbed = stage_pins.pin(
-                corpus_ops.dedup_lines(scrubbed).drop(
-                    "n_lines_kept", "n_lines_dropped"
+            ld = (
+                corpus_ops.dedup_lines_against(
+                    scrubbed,
+                    spark.read.parquet(standing_path).select("text"),
                 )
+                if standing_path is not None
+                else corpus_ops.dedup_lines(scrubbed)
+            )
+            scrubbed = stage_pins.pin(
+                ld.drop("n_lines_kept", "n_lines_dropped")
             )
         return scrubbed
 
-    filtered = stage(
-        "filtered",
-        {
-            "quality_min": quality_min,
-            "c4_rules": c4_rules,
-            "gopher_min_words": gopher_min_words,
-            "gopher_stopwords": list(gopher_stopwords or ()),
-            "classifier_min": classifier_min,
-            "line_dedup": line_dedup,
-            "benchmark_source": benchmark_source,
-            "standing_path": standing_path,
-        },
-        build_filtered,
-    )
+    filtered_cfg = {
+        "quality_min": quality_min,
+        "c4_rules": c4_rules,
+        "gopher_min_words": gopher_min_words,
+        "gopher_stopwords": list(gopher_stopwords or ()),
+        "classifier_min": classifier_min,
+        "line_dedup": line_dedup,
+        "benchmark_source": benchmark_source,
+        "standing_path": standing_path,
+    }
+    if line_dedup and standing_path is not None:
+        # semantics marker: line dedup now also drops standing-owned lines
+        # — invalidate manifests written by the batch-only form for THIS
+        # combination without touching any other config's fingerprint
+        filtered_cfg["line_dedup_mode"] = "against_standing"
+    filtered = stage("filtered", filtered_cfg, build_filtered)
 
     def build_deduped() -> DataFrame:
         # pin BOTH multiply-consumed boundaries (exact_dedup, near_dedup)

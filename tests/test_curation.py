@@ -300,3 +300,59 @@ class TestExtendedStages:
         assert m2["filtered"]["resumed"]
         assert not m2["deduped"]["resumed"]
         assert not m2["packed"]["resumed"]
+
+    def test_line_dedup_against_standing_strips_owned_lines(
+        self, spark, tmp_path
+    ):
+        """With a standing corpus, the line-dedup stage runs the
+        INCREMENTAL form (corpus.dedup_lines_against): a line the standing
+        corpus already owns is stripped from EVERY surviving doc — the
+        batch form would keep its first in-corpus occurrence.  Staged mode
+        matches the in-memory flow bit-for-bit, and the mode marker
+        invalidates a batch-form manifest for the same params."""
+        from pyspark.sql import functions as F
+
+        docs = spark.read.parquet(f"{SF}/documents.parquet").filter(
+            F.col("source") != "src0"
+        )
+        # the most common letters-bearing line: present in many docs, so
+        # the batch form provably keeps one occurrence
+        line = (
+            docs.select(F.explode(F.split("text", "\n")).alias("line"))
+            .filter(F.length(F.regexp_replace("line", r"[^A-Za-z]", "")) >= 3)
+            .groupBy("line").count()
+            .orderBy(F.desc("count"), "line").first()["line"]
+        )
+        standing_pq = str(tmp_path / "standing.parquet")
+        spark.createDataFrame([(line,)], "text string").write.parquet(
+            standing_pq
+        )
+        standing = spark.read.parquet(standing_pq)
+
+        def has_line(df):
+            return df.filter(
+                F.array_contains(F.split("text", "\n"), line)
+            ).count()
+
+        batch = curation.curate_corpus(spark, SF, budget=256, line_dedup=True)
+        assert has_line(batch) == 1  # first occurrence survives in-batch
+
+        mem = curation.curate_corpus(
+            spark, SF, budget=256, line_dedup=True, standing=standing
+        )
+        assert has_line(mem) == 0  # standing owns it: stripped everywhere
+
+        out = str(tmp_path / "curated_ld")
+        packed, m = curation.curate_corpus_staged(
+            spark, SF, out, budget=256, line_dedup=True,
+            standing_path=standing_pq,
+        )
+        mem_rows = sorted(
+            (r["doc_id"], r["text"]) for r in mem.select("doc_id", "text").collect()
+        )
+        staged_rows = sorted(
+            (r["doc_id"], r["text"])
+            for r in packed.select("doc_id", "text").collect()
+        )
+        assert staged_rows == mem_rows
+        assert m["filtered"]["config"].get("line_dedup_mode") == "against_standing"
