@@ -470,42 +470,80 @@ def minhash_lsh_pairs(
     sigs = _pin(
         minhash_signatures(df, id_col, text_col, n, num_perm, seed, unit=unit), pins
     )
-    banded = band_buckets(sigs, bands, r)
-    # persist: the bucket self-join reads `banded` on BOTH sides, and
-    # broadcast/shuffle sides don't share an Exchange — without pinning,
-    # the signature Arrow pass runs twice (measured 2x the pair cost at
-    # sf0.1).  Small frame (id, band, bucket); eviction via `pins`.
-    banded = _pin(banded, pins)
-    l = banded.alias("l")
-    rt = banded.alias("r")
-    cands = (
-        l.join(
-            rt,
-            (F.col("l.band") == F.col("r.band")) & (F.col("l.bucket") == F.col("r.bucket")),
+    if unit == "char" and isinstance(
+        df.schema[id_col].dataType, _INTEGRAL_ID_TYPES
+    ):
+        # candidate enumeration + est pre-filter fused into the per-bucket
+        # Arrow kernel (see _est_passing_pairs_kernel): the self-join's
+        # |bucket|² candidate mass never materializes and the JVM zip_with
+        # estimate fold (~0.6M rows/s measured) is replaced by one numpy
+        # agreement matrix per bucket.  With every row flagged _new the
+        # kernel's admission reduces to l.doc_id < r.doc_id — exactly the
+        # self-join's strict-order condition.  Char shingles are the
+        # measured flood regime (5.2M candidates at sf0.1, 64M at sf1.0);
+        # word-unit buckets stay sparse (the small-vocabulary fix), where
+        # the kernel's signature shuffle costs more than the skinny
+        # broadcast join it replaces — word keeps the join path.
+        banded_s = band_buckets(sigs, bands, r, keep_signature=True).withColumn(
+            "_new", F.lit(True)
         )
-        .filter(F.col("l.doc_id") < F.col("r.doc_id"))
-        .select(F.col("l.doc_id").alias("doc_id"), F.col("r.doc_id").alias("dup_id"))
-        .distinct()
-    )
-    # JVM pre-filter: signature-agreement Jaccard estimate (zip_with, no
-    # Python) — prunes the far-below-threshold candidates before any text
-    # is joined or shipped to Arrow
-    sig_a = sigs.select(F.col("doc_id"), F.col("signature").alias("sig_a"))
-    sig_b = sigs.select(
-        F.col("doc_id").alias("dup_id"), F.col("signature").alias("sig_b")
-    )
-    est = F.aggregate(
-        F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
-        F.lit(0),
-        lambda acc, v: acc + v,
-    ) / F.lit(float(num_perm))
-    cands = (
-        cands.join(sig_a, "doc_id")
-        .join(sig_b, "dup_id")
-        .withColumn("est", est)
-        .filter(F.col("est") >= threshold - est_margin)
-        .select("doc_id", "dup_id")
-    )
+        id_type = df.schema[id_col].dataType
+        pair_schema = T.StructType(
+            [
+                T.StructField("doc_id", id_type, False),
+                T.StructField("dup_id", id_type, False),
+            ]
+        )
+        p = 2 * df.sparkSession.sparkContext.defaultParallelism
+        cands = (
+            banded_s.repartition(p, "band", "bucket")
+            .mapInPandas(
+                _est_passing_pairs_kernel(num_perm, threshold - est_margin),
+                schema=pair_schema,
+            )
+            .distinct()
+        )
+    else:
+        banded = band_buckets(sigs, bands, r)
+        # persist: the bucket self-join reads `banded` on BOTH sides, and
+        # broadcast/shuffle sides don't share an Exchange — without pinning,
+        # the signature Arrow pass runs twice (measured 2x the pair cost at
+        # sf0.1).  Small frame (id, band, bucket); eviction via `pins`.
+        banded = _pin(banded, pins)
+        l = banded.alias("l")
+        rt = banded.alias("r")
+        cands = (
+            l.join(
+                rt,
+                (F.col("l.band") == F.col("r.band"))
+                & (F.col("l.bucket") == F.col("r.bucket")),
+            )
+            .filter(F.col("l.doc_id") < F.col("r.doc_id"))
+            .select(
+                F.col("l.doc_id").alias("doc_id"),
+                F.col("r.doc_id").alias("dup_id"),
+            )
+            .distinct()
+        )
+        # JVM pre-filter: signature-agreement Jaccard estimate (zip_with, no
+        # Python) — prunes the far-below-threshold candidates before any
+        # text is joined or shipped to Arrow
+        sig_a = sigs.select(F.col("doc_id"), F.col("signature").alias("sig_a"))
+        sig_b = sigs.select(
+            F.col("doc_id").alias("dup_id"), F.col("signature").alias("sig_b")
+        )
+        est = F.aggregate(
+            F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+            F.lit(0),
+            lambda acc, v: acc + v,
+        ) / F.lit(float(num_perm))
+        cands = (
+            cands.join(sig_a, "doc_id")
+            .join(sig_b, "dup_id")
+            .withColumn("est", est)
+            .filter(F.col("est") >= threshold - est_margin)
+            .select("doc_id", "dup_id")
+        )
     # exact verify: join candidate pairs back to texts, Jaccard in an Arrow pass
     texts = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__text"))
     pairs = (
@@ -523,9 +561,99 @@ def minhash_lsh_pairs(
     )
 
 
+_INTEGRAL_ID_TYPES = (T.LongType, T.IntegerType, T.ShortType, T.ByteType)
+
+
+def _est_passing_pairs_kernel(num_perm: int, cut: float):
+    """Arrow kernel over hash-colocated (band, bucket) groups: enumerate the
+    banded candidate pairs whose signature-agreement estimate passes the
+    pre-filter, WITHOUT materializing the candidate join.
+
+    Input partition rows: (doc_id, signature, band, bucket, _new) with every
+    row of a (band, bucket) key colocated (repartition by those columns).
+    For each bucket the new-side members are compared against ALL members
+    (new ∪ old) with one vectorized agreement-count matrix — the same
+    semantics as the banded join + distinct + zip_with estimate filter:
+
+        join cond: same (band, bucket) AND (r is old OR l.doc < r.doc)
+                   AND l.doc != r.doc
+        est      : (# equal signature rows)/num_perm  >=  cut
+
+    measured 0.6M est-evals/s for the JVM zip_with fold at sf1.0 (107M
+    banded hits → 170 s); the numpy matrix form runs the identical IEEE
+    comparison at memory bandwidth.  Output carries per-bucket multiplicity
+    (a pair sharing k bands is emitted k times) — callers .distinct(),
+    exactly as the join path did."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        parts = list(batches)
+        if not parts:
+            return
+        pdf = pd.concat(parts, ignore_index=True)
+        if len(pdf) == 0:
+            return
+        # ONE list→matrix conversion per partition (per-group conversion
+        # measured ~60 s of pure object churn at sf1.0), then per-group
+        # work indexes into the matrix.
+        M = np.asarray(pdf["signature"].tolist(), dtype=np.int64)
+        ids = pdf["doc_id"].to_numpy()
+        nw = pdf["_new"].to_numpy(dtype=bool)
+        out_a, out_b = [], []
+        for idx in pdf.groupby(["band", "bucket"], sort=False).indices.values():
+            g_new = idx[nw[idx]]
+            if g_new.size == 0:
+                continue
+            Y, aid, r_new = M[idx], ids[idx], nw[idx]
+            X, nid = M[g_new], ids[g_new]
+            # small groups: one 3-D broadcast; big groups: chunk the new
+            # side so the bool temp stays ~tens of MB
+            chunk = max(1, min(len(X), 8_000_000 // (len(Y) * num_perm) + 1))
+            for i0 in range(0, len(X), chunk):
+                Xc = X[i0 : i0 + chunk]
+                lid = nid[i0 : i0 + chunk]
+                agree = (Xc[:, None, :] == Y[None, :, :]).sum(
+                    axis=2, dtype=np.int16
+                )
+                # IDENTICAL comparison to the JVM est filter: exact int →
+                # double cast, one IEEE division, >= against the same
+                # python-float literal
+                mask = (agree.astype(np.float64) / num_perm) >= cut
+                mask &= (~r_new[None, :]) | (lid[:, None] < aid[None, :])
+                mask &= lid[:, None] != aid[None, :]
+                ii, jj = np.nonzero(mask)
+                if len(ii):
+                    a, b = lid[ii], aid[jj]
+                    out_a.append(np.minimum(a, b))
+                    out_b.append(np.maximum(a, b))
+        if out_a:
+            yield pd.DataFrame(
+                {
+                    "doc_id": np.concatenate(out_a),
+                    "dup_id": np.concatenate(out_b),
+                }
+            )
+
+    return kernel
+
+
+_GRAM_PAD = 0x1FFFFF  # > max unicode codepoint (0x10FFFF): short-string filler
+
+
 def _exact_jaccard_udf(unit: str, n: int):
     """Arrow verify stage shared by the full and incremental LSH pair ops:
-    exact shingle-set Jaccard, rounded to 4 dp (the oracle convention)."""
+    exact shingle-set Jaccard, rounded to 4 dp (the oracle convention).
+
+    Fast path (unit='char', n<=3): each n-gram is BIJECTIVELY encoded as an
+    int64 (n codepoints x 21 bits; positions past a short string's end take
+    a pad above the unicode range, so a short string never collides with a
+    full gram) — set sizes over the codes are exactly the string-set sizes,
+    and the per-doc unique-code array is memoized per task (each doc
+    appears in many candidate pairs; rebuilding its Python string set per
+    pair was the verify stage's dominant cost: 31 s for 3.4M pairs at
+    sf1.0).  Word units / larger n keep the set path, with the same
+    memoization."""
+
+    char_fast = unit == "char" and n <= 3
 
     def _shingle_set(x: str):
         if not isinstance(x, str) or not x:
@@ -537,18 +665,57 @@ def _exact_jaccard_udf(unit: str, n: int):
             return set()
         return {" ".join(toks[i : i + n]) for i in range(max(len(toks) - n + 1, 1))}
 
+    def _char_codes(x: str) -> np.ndarray:
+        if not isinstance(x, str) or not x:
+            return np.empty(0, dtype=np.int64)
+        cp = np.frombuffer(x.encode("utf-32-le"), dtype=np.uint32).astype(np.int64)
+        if len(cp) < n:
+            cp = np.concatenate(
+                [cp, np.full(n - len(cp), _GRAM_PAD, dtype=np.int64)]
+            )
+        w = np.lib.stride_tricks.sliding_window_view(cp, n)
+        code = w[:, 0]
+        for k in range(1, n):
+            code = (code << 21) | w[:, k]
+        return np.unique(code)
+
     @F.pandas_udf(T.DoubleType())
     def jaccard_udf(a: pd.Series, b: pd.Series) -> pd.Series:
-        def j(x, y):
-            sx, sy = _shingle_set(x), _shingle_set(y)
-            if not sx and not sy:
-                return 1.0
-            u = len(sx | sy)
-            return len(sx & sy) / u if u else 0.0
+        cache: dict = {}
+
+        def memo(x, build):
+            s = cache.get(x)
+            if s is None:
+                if len(cache) > 65536:
+                    cache.clear()
+                s = cache[x] = build(x)
+            return s
+
+        if char_fast:
+            def j(x, y):
+                cx = memo(x, _char_codes)
+                cy = memo(y, _char_codes)
+                if not len(cx) and not len(cy):
+                    return 1.0
+                inter = np.intersect1d(cx, cy, assume_unique=True).size
+                u = len(cx) + len(cy) - inter
+                return inter / u if u else 0.0
+        else:
+            def j(x, y):
+                sx = memo(x, _shingle_set)
+                sy = memo(y, _shingle_set)
+                if not sx and not sy:
+                    return 1.0
+                u = len(sx | sy)
+                return len(sx & sy) / u if u else 0.0
 
         return pd.Series([round(j(x, y), 4) for x, y in zip(a, b)])
 
-    return jaccard_udf
+    # the callers FILTER on the UDF output column: without this the
+    # optimizer pushes the filter below the projection and evaluates the
+    # UDF twice per pair (two ArrowEvalPython nodes — guide §4.4; measured
+    # 12.8 s single-eval vs 42 s through the filter+project plan at sf1.0)
+    return jaccard_udf.asNondeterministic()
 
 
 def minhash_lsh_pairs_incremental(
@@ -606,6 +773,7 @@ def minhash_lsh_pairs_incremental(
     construction (same signatures ⇒ same banding)."""
     assert num_perm % bands == 0
     r = num_perm // bands
+    spark = new.sparkSession
     sigs_new = _pin(
         minhash_signatures(new, id_col, text_col, n, num_perm, seed, unit=unit),
         pins,
@@ -614,9 +782,48 @@ def minhash_lsh_pairs_incremental(
         minhash_signatures(old, id_col, text_col, n, num_perm, seed, unit=unit),
         pins,
     )
-    banded_new = _pin(band_buckets(sigs_new, bands, r), pins)
-    l = banded_new.alias("l")
-    if old_banded is not None:
+    # est pre-filter applied during candidate ENUMERATION (Arrow kernel)
+    # for integral ids on the recompute path: the banded join's candidate
+    # mass is |new_b|·|all_b| per bucket — at sf1.0 (char shingles, small
+    # vocabulary) 107M raw hits → a 64M-row distinct + 64M JVM zip_with
+    # estimates dominated the query (measured 87 s total; the JVM fold
+    # alone runs at ~0.6M rows/s).  The kernel colocates each (band,
+    # bucket)'s members and emits ONLY est-passing pairs, so the distinct
+    # sees the ~3σ sliver (11.5M rows at sf1.0), not the full mass.
+    kernel_path = old_banded is None and isinstance(
+        new.schema[id_col].dataType, _INTEGRAL_ID_TYPES
+    )
+    need_est_join = True
+    if not kernel_path:
+        banded_new = _pin(band_buckets(sigs_new, bands, r), pins)
+        l = banded_new.alias("l")
+    if kernel_path:
+        banded_all_s = (
+            band_buckets(sigs_new, bands, r, keep_signature=True)
+            .withColumn("_new", F.lit(True))
+            .unionByName(
+                band_buckets(sigs_old, bands, r, keep_signature=True)
+                .withColumn("_new", F.lit(False))
+            )
+        )
+        id_type = new.schema[id_col].dataType
+        pair_schema = T.StructType(
+            [
+                T.StructField("doc_id", id_type, False),
+                T.StructField("dup_id", id_type, False),
+            ]
+        )
+        p = 2 * spark.sparkContext.defaultParallelism
+        cands = (
+            banded_all_s.repartition(p, "band", "bucket")
+            .mapInPandas(
+                _est_passing_pairs_kernel(num_perm, threshold - est_margin),
+                schema=pair_schema,
+            )
+            .distinct()
+        )
+        need_est_join = False
+    elif old_banded is not None:
         if old_sigs is None:
             raise ValueError(
                 "old_banded requires old_sigs: the estimate filter needs the "
@@ -677,23 +884,24 @@ def minhash_lsh_pairs_incremental(
             )
             .distinct()
         )
-    sigs = sigs_new.unionByName(sigs_old)
-    sig_a = sigs.select(F.col("doc_id"), F.col("signature").alias("sig_a"))
-    sig_b = sigs.select(
-        F.col("doc_id").alias("dup_id"), F.col("signature").alias("sig_b")
-    )
-    est = F.aggregate(
-        F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
-        F.lit(0),
-        lambda acc, v: acc + v,
-    ) / F.lit(float(num_perm))
-    cands = (
-        cands.join(sig_a, "doc_id")
-        .join(sig_b, "dup_id")
-        .withColumn("est", est)
-        .filter(F.col("est") >= threshold - est_margin)
-        .select("doc_id", "dup_id")
-    )
+    if need_est_join:
+        sigs = sigs_new.unionByName(sigs_old)
+        sig_a = sigs.select(F.col("doc_id"), F.col("signature").alias("sig_a"))
+        sig_b = sigs.select(
+            F.col("doc_id").alias("dup_id"), F.col("signature").alias("sig_b")
+        )
+        est = F.aggregate(
+            F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+            F.lit(0),
+            lambda acc, v: acc + v,
+        ) / F.lit(float(num_perm))
+        cands = (
+            cands.join(sig_a, "doc_id")
+            .join(sig_b, "dup_id")
+            .withColumn("est", est)
+            .filter(F.col("est") >= threshold - est_margin)
+            .select("doc_id", "dup_id")
+        )
     texts = (
         new.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__text"))
         .unionByName(
