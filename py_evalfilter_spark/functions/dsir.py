@@ -81,6 +81,7 @@ def dsir_log_ratio_model(
     buckets: int = 10_000,
     smoothing: float = 1.0,
     pins=None,
+    raw_buckets: DataFrame | None = None,
 ) -> tuple[DataFrame, float]:
     """Fit the (bucket, log_ratio) model: log_ratio = log p_t(b) − log p_r(b)
     with additive smoothing over all B buckets.  Returns (model frame of at
@@ -90,7 +91,14 @@ def dsir_log_ratio_model(
     The per-side count frames are pinned (≤B rows each): the totals
     collect AND the final model join both read them, and without the pin
     each side's corpus explode re-executes — measured 2.9 → 1.5 s at
-    sf0.1.  Pass a PinScope to own eviction (pinning.py)."""
+    sf0.1.  Pass a PinScope to own eviction (pinning.py).
+
+    ``raw_buckets``: a precomputed (and ideally pinned) frame carrying one
+    `bucket` row per raw-side n-gram (the ``_hashed_ngram_buckets`` shape)
+    — lets a caller that also SCORES the raw side (with_dsir_weight) share
+    ONE explode+md5 pass between the fit and the scoring instead of
+    re-tokenizing the biggest side (the scoring explode is the model's
+    whole raw pass again)."""
     from ..pinning import pin as _pin
 
     t_counts = _pin(
@@ -99,7 +107,11 @@ def dsir_log_ratio_model(
         pins,
     )
     r_counts = _pin(
-        _hashed_ngram_buckets(raw, text_col, n_max, buckets)
+        (
+            raw_buckets
+            if raw_buckets is not None
+            else _hashed_ngram_buckets(raw, text_col, n_max, buckets)
+        )
         .groupBy("bucket").agg(F.count(F.lit(1)).alias("rc")),
         pins,
     )
@@ -129,14 +141,18 @@ def with_dsir_weight(
     n_max: int = 2,
     buckets: int = 10_000,
     out: str = "dsir_logw",
+    grams: DataFrame | None = None,
 ) -> DataFrame:
     """Per-document log importance weight.  The model side is ≤ `buckets`
     rows by construction, so the broadcast hint is safe (contrast the
     gated unigram-LM broadcast).  Zero-n-gram docs get weight 0.0 (no
-    evidence either way)."""
-    grams = _hashed_ngram_buckets(
-        df.select(id_col, text_col), text_col, n_max, buckets
-    ).select(id_col, "bucket")
+    evidence either way).  ``grams``: a precomputed (id, bucket) n-gram
+    frame (``_hashed_ngram_buckets`` over the same df/params) — pass the
+    pinned frame the model fit consumed so the corpus explodes once."""
+    if grams is None:
+        grams = _hashed_ngram_buckets(
+            df.select(id_col, text_col), text_col, n_max, buckets
+        ).select(id_col, "bucket")
     scored = grams.join(F.broadcast(model), "bucket", "left").select(
         id_col,
         F.coalesce("log_ratio", F.lit(default_log_ratio)).alias("lr"),

@@ -1191,6 +1191,22 @@ def dedup_lines_against(
         if standing is not None
         else None
     )
+    # the standing key frame has up to THREE consumers in one call (sizing
+    # count, Bloom build scan, confirm anti-join) and each re-executes the
+    # standing text explode without a pin (ADVICE r7).  Persist only when
+    # ≥2 consumers exist; eviction follows the session-cache discipline
+    # (callers clear after materializing — the curation flows checkpoint
+    # right above this boundary).
+    st_consumers = (
+        (1 if confirm else 0)
+        + (
+            0
+            if (prebuilt is not None or prebuilt_sliced is not None)
+            else (1 if n_standing_lines is not None else 2)
+        )
+    )
+    if st_keys is not None and st_consumers >= 2:
+        st_keys = st_keys.persist()
 
     if prebuilt_sliced is not None:
         flagged = with_sliced_bloom_probe(

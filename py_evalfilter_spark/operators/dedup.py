@@ -1289,7 +1289,13 @@ def embedding_neardup_pairs(
         pins,
     )
     if target_bucket_rows:
-        n = df.count()
+        # count the PINNED projection, not the raw input: the count then
+        # materializes the cache every later table/verify pass reads,
+        # instead of executing the full upstream plan a second time with
+        # nothing persisted (CacheManager matches analyzed plans — df's
+        # plan differs from d's, so `df.count()` would never hit the pin;
+        # ADVICE r7)
+        n = d.count()
         n_planes = max(
             n_planes, min(30, math.ceil(math.log2(max(n / target_bucket_rows, 1.0))))
         )

@@ -71,7 +71,23 @@ def connected_components(
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).filter(
         F.col("a") != F.col("b")
     )
-    und = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
+    # BOTH edge directions from ONE pass over the pair lineage: the old
+    # `e.union(e.reversed)` put the upstream plan (for near-dup pairs:
+    # banding + est + the Arrow text verify) in the plan TWICE, and a
+    # union's branches don't share execution (the CLAUDE.md twice-consumed
+    # union trap) — every caller paid the pair computation double.
+    und = (
+        e.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("a").alias("a"), F.col("b").alias("b")),
+                    F.struct(F.col("b").alias("a"), F.col("a").alias("b")),
+                )
+            ).alias("_e")
+        )
+        .select("_e.a", "_e.b")
+        .distinct()
+    )
     # LAZY checkpoint, materialized by the count() below — a real SQL
     # action.  An EAGER localCheckpoint materializes through an RDD-level
     # job, which completes any upstream observe() node with an EMPTY

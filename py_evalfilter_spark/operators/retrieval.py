@@ -60,7 +60,11 @@ def bm25_postings(
     postings = tokens.groupBy("term", "doc_id").agg(
         F.count(F.lit(1)).alias("tf")
     )
-    doc_len = tokens.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    # doc length = Σ tf — identical counts to aggregating the raw tokens,
+    # but derived FROM postings so a caller that persists the postings
+    # frame (bm25_scores/bm25_batch_scores do) tokenizes the corpus once
+    # for index + lengths + stats instead of once per consumer
+    doc_len = postings.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     return postings, doc_len
 
 
@@ -136,6 +140,55 @@ def bm25_stats(doc_len: DataFrame) -> tuple[int, float]:
     return row["n"], row["avgdl"]
 
 
+def _bm25_score_hits(
+    hits: DataFrame,
+    doc_len: DataFrame,
+    stats: tuple[int, float] | None,
+    k1: float,
+    b: float,
+) -> DataFrame:
+    """Per-(term, doc) partial BM25 scores over the term-filtered postings.
+
+    With ``stats`` the corpus scalars fold in as literals (the persisted-
+    index mode: compute once at index time, zero per-query passes).
+    Without, they ride the plan as a broadcast one-row cross join — the
+    stats aggregate, the doc-length join side and the hits filter all hang
+    off the SAME postings exchange (doc_len derives from postings since
+    bm25_postings computes dl = Σ tf), so exchange reuse makes the whole
+    query ONE tokenize pass with no driver collect and no cache, replacing
+    the previous three passes (stats action, hits path, doc_len side).
+    The scalar VALUES are identical either way (count cast to double ≡
+    float(n_docs)), so both modes score identically."""
+    dfreq = hits.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    if stats is not None:
+        n_docs, avgdl = stats
+        n_col, avgdl_col = F.lit(float(n_docs)), F.lit(float(avgdl))
+        scored = hits.join(dfreq, "term").join(doc_len, "doc_id")
+    else:
+        stats_df = doc_len.agg(
+            F.count(F.lit(1)).cast("double").alias("__n"),
+            F.avg("dl").alias("__avgdl"),
+        )
+        n_col, avgdl_col = F.col("__n"), F.col("__avgdl")
+        scored = (
+            hits.join(dfreq, "term")
+            .join(doc_len, "doc_id")
+            .crossJoin(F.broadcast(stats_df))
+        )
+    idf = F.log(
+        F.lit(1.0) + (n_col - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    return scored.withColumn(
+        "part",
+        idf
+        * (F.col("tf") * F.lit(k1 + 1.0))
+        / (
+            F.col("tf")
+            + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / avgdl_col)
+        ),
+    )
+
+
 def bm25_scores(
     docs: DataFrame,
     id_col: str,
@@ -160,32 +213,9 @@ def bm25_scores(
     terms = tokenize_query(query)
     if postings is None or doc_len is None:
         postings, doc_len = bm25_postings(docs, id_col, text_col)
-    if stats is None:
-        stats = bm25_stats(doc_len)
-    n_docs, avgdl = stats
-
-    hits = postings.filter(F.col("term").isin(terms))
-    dfreq = hits.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    idf = F.log(
-        F.lit(1.0)
-        + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
-        / (F.col("df") + F.lit(0.5))
-    )
-    scored = (
-        hits.join(dfreq, "term")
-        .join(doc_len, "doc_id")
-        .withColumn(
-            "part",
-            idf
-            * (F.col("tf") * F.lit(k1 + 1.0))
-            / (
-                F.col("tf")
-                + F.lit(k1)
-                * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(float(avgdl)))
-            ),
-        )
-    )
-    return scored.groupBy("doc_id").agg(F.sum("part").alias("bm25"))
+    return _bm25_score_hits(
+        postings.filter(F.col("term").isin(terms)), doc_len, stats, k1, b
+    ).groupBy("doc_id").agg(F.sum("part").alias("bm25"))
 
 
 def bm25_batch_scores(
@@ -216,32 +246,10 @@ def bm25_batch_scores(
     terms_all = sorted({t for _, t in qdf_rows})
     if postings is None or doc_len is None:
         postings, doc_len = bm25_postings(docs, id_col, text_col)
-    if stats is None:
-        stats = bm25_stats(doc_len)
-    n_docs, avgdl = stats
-
     spark = docs.sparkSession
     qdf = spark.createDataFrame(qdf_rows, "query_id string, term string")
-    hits = postings.filter(F.col("term").isin(terms_all))
-    dfreq = hits.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    idf = F.log(
-        F.lit(1.0)
-        + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
-        / (F.col("df") + F.lit(0.5))
-    )
-    scored = (
-        hits.join(dfreq, "term")
-        .join(doc_len, "doc_id")
-        .withColumn(
-            "part",
-            idf
-            * (F.col("tf") * F.lit(k1 + 1.0))
-            / (
-                F.col("tf")
-                + F.lit(k1)
-                * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(float(avgdl)))
-            ),
-        )
+    scored = _bm25_score_hits(
+        postings.filter(F.col("term").isin(terms_all)), doc_len, stats, k1, b
     )
     return (
         scored.join(F.broadcast(qdf), "term")

@@ -2579,9 +2579,17 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _read(spark, sf_dir, "documents").repartition(input_partitions(spark))
     target = docs.filter(F.col("source") == "src0")
     raw = docs.filter(F.col("source") != "src0")
-    model, default = dsir.dsir_log_ratio_model(target, raw, buckets=1000)
+    # ONE raw-side explode+md5 pass shared by the model fit (r_counts) and
+    # the scoring join — the raw side is ~19/20 of the corpus, and without
+    # the shared pinned frame it tokenizes twice (fit + scoring)
+    raw_grams = dsir._hashed_ngram_buckets(
+        raw.select("doc_id", "text"), "text", 2, 1000
+    ).select("doc_id", "bucket").persist()
+    model, default = dsir.dsir_log_ratio_model(
+        target, raw, buckets=1000, raw_buckets=raw_grams
+    )
     return dsir.with_dsir_weight(
-        raw, model, default, buckets=1000
+        raw, model, default, buckets=1000, grams=raw_grams
     ).select("doc_id", "n_grams", "dsir_logw")
 
 

@@ -39,7 +39,16 @@ def get_spark(
         # the REST status API so benches can read per-stage shuffle
         # bytes/records — the term that becomes NETWORK on a real cluster
         # and that wall-clock on one box (memory-bandwidth shuffle) hides
-        .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false"))
+        .config(
+            "spark.ui.enabled",
+            # normalize: raw env strings like "1"/"True "/"yes" would either
+            # throw at session build or silently disable the UI and make
+            # every bench's shuffle_snapshot quietly return None (ADVICE r7)
+            str(
+                os.environ.get("SPARK_GRAFT_UI", "").strip().lower()
+                in ("true", "1", "yes")
+            ).lower(),
+        )
         # straggler mitigation: this VM occasionally degrades a worker for
         # minutes (measured: 31/32 tasks in seconds, one task 15+ min);
         # speculation re-launches slow tasks — the same defense a real
