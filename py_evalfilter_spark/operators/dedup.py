@@ -487,21 +487,9 @@ def minhash_lsh_pairs(
         banded_s = band_buckets(sigs, bands, r, keep_signature=True).withColumn(
             "_new", F.lit(True)
         )
-        id_type = df.schema[id_col].dataType
-        pair_schema = T.StructType(
-            [
-                T.StructField("doc_id", id_type, False),
-                T.StructField("dup_id", id_type, False),
-            ]
-        )
-        p = 2 * df.sparkSession.sparkContext.defaultParallelism
-        cands = (
-            banded_s.repartition(p, "band", "bucket")
-            .mapInPandas(
-                _est_passing_pairs_kernel(num_perm, threshold - est_margin),
-                schema=pair_schema,
-            )
-            .distinct()
+        cands = _est_passing_pairs(
+            banded_s, num_perm, threshold - est_margin,
+            df.schema[id_col].dataType,
         )
     else:
         banded = band_buckets(sigs, bands, r)
@@ -569,10 +557,11 @@ def _est_passing_pairs_kernel(num_perm: int, cut: float):
     banded candidate pairs whose signature-agreement estimate passes the
     pre-filter, WITHOUT materializing the candidate join.
 
-    Input partition rows: (doc_id, signature, band, bucket, _new) with every
-    row of a (band, bucket) key colocated (repartition by those columns).
-    For each bucket the new-side members are compared against ALL members
-    (new ∪ old) with one vectorized agreement-count matrix — the same
+    Input partition rows: (doc_id, signature, band, bucket, _new, _salt,
+    _probe) with every row of a (band, bucket, _salt) key colocated
+    (repartition by those columns — `_est_passing_pairs` builds the salted
+    frame).  For each group the PROBE members are compared against ALL
+    members with one vectorized agreement-count matrix — the same
     semantics as the banded join + distinct + zip_with estimate filter:
 
         join cond: same (band, bucket) AND (r is old OR l.doc < r.doc)
@@ -598,9 +587,11 @@ def _est_passing_pairs_kernel(num_perm: int, cut: float):
         M = np.asarray(pdf["signature"].tolist(), dtype=np.int64)
         ids = pdf["doc_id"].to_numpy()
         nw = pdf["_new"].to_numpy(dtype=bool)
+        probe = pdf["_probe"].to_numpy(dtype=bool)
         out_a, out_b = [], []
-        for idx in pdf.groupby(["band", "bucket"], sort=False).indices.values():
-            g_new = idx[nw[idx]]
+        groups = pdf.groupby(["band", "bucket", "_salt"], sort=False).indices
+        for idx in groups.values():
+            g_new = idx[probe[idx]]
             if g_new.size == 0:
                 continue
             Y, aid, r_new = M[idx], ids[idx], nw[idx]
@@ -634,6 +625,77 @@ def _est_passing_pairs_kernel(num_perm: int, cut: float):
             )
 
     return kernel
+
+
+def _est_passing_pairs(
+    banded_s: DataFrame,
+    num_perm: int,
+    cut: float,
+    id_type,
+    hot_work: int = 4_000_000,
+    max_salt: int = 16,
+) -> DataFrame:
+    """Salted per-bucket est-passing pair enumeration (the kernel's driver).
+
+    ``banded_s``: (doc_id, signature, band, bucket, _new).  Hash-colocating
+    whole buckets leaves the hot ones on one task: at sf1.0 the largest
+    (band, bucket) holds 22% of ALL probe×member comparisons (24.4M of
+    110M) and the max hash-partition 25% — a 16× max/avg straggler.  Guide
+    §2.5 split-the-hot-key: a cheap skinny count pass finds buckets whose
+    probe×member product exceeds ``hot_work``; their PARTNER rows replicate
+    across ceil(work/hot_work) salts (bounded by ``max_salt``) while each
+    probe row lights up in exactly ONE salt — so every (probe, partner)
+    pair still meets exactly once and the emitted pair set is unchanged.
+    Cold buckets pay nothing (salt 1, no replication; the extra shuffle is
+    only Σ_hot m_all·(s−1) rows — ~220k of 886k at sf1.0)."""
+    spark = banded_s.sparkSession
+    counts = banded_s.groupBy("band", "bucket").agg(
+        F.sum(F.when(F.col("_new"), 1).otherwise(0)).alias("_mn"),
+        F.count(F.lit(1)).alias("_ma"),
+    )
+    hot = (
+        counts.withColumn("_w", F.col("_mn") * F.col("_ma"))
+        .filter(F.col("_w") > hot_work)
+        .select(
+            "band",
+            "bucket",
+            F.least(
+                F.lit(max_salt),
+                F.ceil(F.col("_w") / F.lit(hot_work)).cast("int"),
+            ).alias("_s"),
+        )
+    )
+    b = (
+        banded_s.join(F.broadcast(hot), ["band", "bucket"], "left")
+        .withColumn("_s", F.coalesce(F.col("_s"), F.lit(1)))
+        .select(
+            "doc_id",
+            "signature",
+            "band",
+            "bucket",
+            "_new",
+            F.explode(F.sequence(F.lit(0), F.col("_s") - 1)).alias("_salt"),
+            F.pmod(F.xxhash64(F.col("doc_id")), F.col("_s").cast("bigint"))
+            .cast("int")
+            .alias("_own"),
+        )
+        .withColumn("_probe", F.col("_new") & (F.col("_salt") == F.col("_own")))
+        .drop("_own")
+    )
+    pair_schema = T.StructType(
+        [
+            T.StructField("doc_id", id_type, False),
+            T.StructField("dup_id", id_type, False),
+        ]
+    )
+    p = 2 * spark.sparkContext.defaultParallelism
+    return (
+        b.repartition(p, "band", "bucket", "_salt")
+        .mapInPandas(
+            _est_passing_pairs_kernel(num_perm, cut), schema=pair_schema
+        )
+        .distinct()
+    )
 
 
 _GRAM_PAD = 0x1FFFFF  # > max unicode codepoint (0x10FFFF): short-string filler
@@ -806,21 +868,9 @@ def minhash_lsh_pairs_incremental(
                 .withColumn("_new", F.lit(False))
             )
         )
-        id_type = new.schema[id_col].dataType
-        pair_schema = T.StructType(
-            [
-                T.StructField("doc_id", id_type, False),
-                T.StructField("dup_id", id_type, False),
-            ]
-        )
-        p = 2 * spark.sparkContext.defaultParallelism
-        cands = (
-            banded_all_s.repartition(p, "band", "bucket")
-            .mapInPandas(
-                _est_passing_pairs_kernel(num_perm, threshold - est_margin),
-                schema=pair_schema,
-            )
-            .distinct()
+        cands = _est_passing_pairs(
+            banded_all_s, num_perm, threshold - est_margin,
+            new.schema[id_col].dataType,
         )
         need_est_join = False
     elif old_banded is not None:
