@@ -605,12 +605,21 @@ def curate_corpus_staged(
         partition_by=["shard"],
     )
     # per-shard rollup on top of write_stage's per-file lineage
-    # ("shard=3/part-….parquet" entries): the shard manifest a training
-    # loader consumes to plan its readers.
+    # ("shard=3/part-….parquet" entries) — an IN-PROCESS convenience view
+    # for this call's return value; a loader reading the on-disk
+    # _lineage_manifest.json derives the same map from its partitions list
+    # (ADVICE r7: the rollup is computed after write_stage committed the
+    # manifest, so it is not in the file).
     shards: dict[int, int] = {}
     for p in manifests["sharded"]["partitions"]:
         if "/" in p["file"] and p["file"].startswith("shard="):
             k = int(p["file"].split("/", 1)[0].split("=", 1)[1])
             shards[k] = shards.get(k, 0) + p["rows"]
+    # a layout mismatch (e.g. a partition entry that fell back to a bare
+    # basename) must fail loudly, not ship a short rollup (ADVICE r7)
+    assert sum(shards.values()) == manifests["sharded"]["rows"], (
+        "shard rollup undercounts the stage manifest: "
+        f"{sum(shards.values())} != {manifests['sharded']['rows']}"
+    )
     manifests["sharded"]["shards"] = {str(k): shards[k] for k in sorted(shards)}
     return sharded, manifests

@@ -61,6 +61,19 @@ def get_spark(
         # them (default nudge: 30 min) — at 10M-doc scale that's tens of GB
         # of zombie disk between stages; tighten the nudge
         .config("spark.cleaner.periodicGC.interval", "2min")
+        # JIT code cache: a session running many distinct queries
+        # accumulates one generated WholeStageCodegen class per stage and
+        # fills the default ~240 MB ReservedCodeCacheSize, after which the
+        # JVM DISABLES the compiler and every later compute-heavy stage
+        # runs interpreted (measured: the 14th bench query's HOF-heavy
+        # plan 37-50 s with the default vs 5-12 s at 1g, same JVM, same
+        # preceding 12 queries — and the row persists across reps because
+        # the cache never empties).  This is the main driver of the
+        # documented "degraded JVM" variance in long benchmark sessions;
+        # any codegen-heavy driver/executor JVM needs the same headroom.
+        .config(
+            "spark.driver.extraJavaOptions", "-XX:ReservedCodeCacheSize=2g"
+        )
     )
     exec_mem = os.environ.get("SPARK_GRAFT_EXECUTOR_MEMORY")
     if exec_mem:
@@ -89,7 +102,11 @@ def get_spark(
         try:
             cores = master.split("[")[1].split(",")[1].strip()
             builder = builder.config(
-                "spark.executor.extraJavaOptions", f"-XX:ActiveProcessorCount={int(cores)}"
+                "spark.executor.extraJavaOptions",
+                # code-cache headroom for the same reason as the driver
+                # (executor JVMs compile every stage's codegen class too)
+                f"-XX:ActiveProcessorCount={int(cores)} "
+                "-XX:ReservedCodeCacheSize=512m",
             )
         except (IndexError, ValueError):
             pass
