@@ -1082,3 +1082,69 @@ def test_kmeans_fit_unpinned_matches_pinned(spark):
     a = clustering.kmeans_fit(emb, k=4, iters=2, seed=42, pin_input=True)
     b = clustering.kmeans_fit(emb, k=4, iters=2, seed=42, pin_input=False)
     assert a == b
+
+
+class TestEstKernel:
+    """The round-8 Arrow est-kernel: per-bucket candidate enumeration with
+    the signature-agreement pre-filter fused in, plus hot-bucket salting."""
+
+    def test_salted_equals_unsalted(self, spark, docs):
+        """Salting replicates partner rows and splits probes across salts;
+        the emitted pair set must be EXACTLY the unsalted one (every
+        (probe, partner) pair meets exactly once)."""
+        from pyspark.sql import types as T
+
+        sigs = dedup.minhash_signatures(docs, "doc_id", "text", 3, 64)
+        banded = (
+            dedup.band_buckets(sigs, 16, 4, keep_signature=True)
+            .withColumn("_new", F.lit(True))
+            .persist()
+        )
+        cut = 0.8 - 0.15
+        # hot_work=1 forces EVERY multi-member bucket through the salted
+        # path; the huge threshold disables salting entirely
+        salted = dedup._est_passing_pairs(
+            banded, 64, cut, T.LongType(), hot_work=1, max_salt=4
+        )
+        plain = dedup._est_passing_pairs(
+            banded, 64, cut, T.LongType(), hot_work=1 << 60
+        )
+        a = {(r.doc_id, r.dup_id) for r in salted.collect()}
+        b = {(r.doc_id, r.dup_id) for r in plain.collect()}
+        banded.unpersist()
+        assert a == b
+        assert len(a) > 0  # the fixture's near-dups must surface
+
+    def test_jaccard_char_fast_path_matches_set_semantics(self, spark):
+        """The int64 gram-code fast path (char, n<=3) must reproduce the
+        Python string-set Jaccard exactly, including short/empty strings
+        and multibyte text."""
+        import random
+
+        rng = random.Random(7)
+        alpha = "abcカタ変 換x！０"
+        rows = [
+            (
+                "".join(rng.choice(alpha) for _ in range(rng.randint(0, 8))),
+                "".join(rng.choice(alpha) for _ in range(rng.randint(0, 8))),
+            )
+            for _ in range(300)
+        ]
+        df = spark.createDataFrame(pd.DataFrame(rows, columns=["a", "b"]))
+        for n in (1, 2, 3):
+            udf = dedup._exact_jaccard_udf("char", n)
+            out = df.withColumn("j", udf("a", "b")).collect()
+
+            def sset(x):
+                if not x:
+                    return set()
+                return {x[i : i + n] for i in range(max(len(x) - n + 1, 1))}
+
+            for r in out:
+                sx, sy = sset(r.a), sset(r.b)
+                if not sx and not sy:
+                    want = 1.0
+                else:
+                    u = sx | sy
+                    want = round(len(sx & sy) / len(u), 4) if u else 0.0
+                assert r.j == want, (r.a, r.b, n, r.j, want)

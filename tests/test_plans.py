@@ -195,6 +195,35 @@ class TestBenchedQueryPlans:
         plan = self._benched(spark, "dedup_incremental")
         assert "ArrowEvalPython" in plan
 
+    def test_dedup_incremental_verify_udf_evaluated_once(self, spark):
+        """The jaccard filter must NOT duplicate the Arrow verify (guide
+        §4.4: a filter on a UDF-output column gets pushed below the
+        projection and the UDF runs twice — measured 12.8 s single-eval
+        vs 42 s duplicated at sf1.0; the UDF is asNondeterministic to pin
+        a single ArrowEvalPython node)."""
+        plan = self._benched(spark, "dedup_incremental")
+        assert plan.count("ArrowEvalPython") == 1
+
+    def test_smote_spreads_pairs_and_ranks_without_exchange(self, spark):
+        """The O(n²) kNN pair generation must be spread BEFORE the
+        nested-loop join (one scan split otherwise ran the whole thing in
+        a single task: 47.7 s → ~3 s at sf1.0), and the rank window must
+        reuse that partitioning: Spark's WindowGroupLimit cuts each
+        partition to top-k per base with NO Exchange between the join and
+        the rank — only the n base rows cross the wire, never the n²
+        pairs."""
+        plan = self._benched(spark, "smote")
+        assert "WindowGroupLimit" in plan
+        assert "BroadcastNestedLoopJoin" in plan
+        # plans print consumer-first: the segment from the first (and
+        # only) group-limit down to the join must carry no Exchange — the
+        # pre-fix plan had a second WindowGroupLimit + a pair-sized
+        # hashpartitioning Exchange in exactly this span
+        seg = plan[
+            plan.index("WindowGroupLimit"):plan.index("BroadcastNestedLoopJoin")
+        ]
+        assert "Exchange" not in seg
+
     def test_media_digest_dedup_shuffles_digest_key(self, spark):
         """The digest groupBy must key the exchange on md5(content) — blobs
         never move (the media-dedup scale contract)."""
