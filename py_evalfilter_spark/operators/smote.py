@@ -68,18 +68,27 @@ def knn_within_class(
     # also pre-satisfies the rank window's clustering, so the n² pairs
     # never cross an Exchange — Spark's WindowGroupLimit cuts each
     # partition to the top-k rows per base right after the local sort.
+    # The rank sort sees only (ids, dist2): carrying both vectors through
+    # it multiplies the sorted payload ~40x (n² wide rows spill at larger
+    # minority classes); the k·n survivors re-join the vectors afterwards
+    # from the same broadcast-sized frames (equal wall at sf1.0, measured
+    # identical kNN sets).
     p = max(m.sparkSession.sparkContext.defaultParallelism, 1)
     pairs = (
         m.repartition(p, id_col)
         .join(F.broadcast(right), F.col(id_col) != F.col("nbr_id"))
         .withColumn("dist2", F.round(dist2, 6))
+        .select(id_col, "nbr_id", "dist2")
     )
     w = Window.partitionBy(id_col).orderBy("dist2", "nbr_id")
-    return (
+    ranked = (
         pairs.withColumn("nbr_rank", F.row_number().over(w).cast("int"))
         .filter(F.col("nbr_rank") <= k)
         .drop("dist2")
     )
+    return ranked.join(F.broadcast(m), id_col).join(
+        F.broadcast(right), "nbr_id"
+    ).select(id_col, vec_col, "nbr_id", "nbr_vec", "nbr_rank")
 
 
 def _hash_stream(mult: int, addend: int, offset: Column) -> Column:
